@@ -1,0 +1,311 @@
+"""R1CS verifier (the ``bulletproofs::r1cs::Verifier`` equivalent).
+
+Re-synthesizes the same constraint tape as the prover (with ``None``
+assignments - the prover/verifier symmetry invariant described in SURVEY.md's
+execution-model note), replays the Fiat-Shamir schedule, and checks the whole
+proof with ONE combined multiscalar multiplication.
+
+Verification equation (derivation in the module docstring of ``prover.py``;
+r is a verifier-local random combining factor):
+
+  0 == x*A_I1 + x^2*A_O1 + x^3*S1 + u*x*A_I2 + u*x^2*A_O2 + u*x^3*S2
+     + sum_j (r*x^2*wV_j) * V_j
+     + r*x*T_1 + r*x^3*T_3 + r*x^4*T_4 + r*x^5*T_5 + r*x^6*T_6
+     + [ w*(t_x - a*b) + r*(x^2*(wc + delta) - t_x) ] * B
+     + [ -e_blinding - r*t_x_blinding ] * B_blinding
+     + sum_i u_g_i*(x*y^-i*wR_i - a*s_i) * G_i
+     + sum_i u_g_i*(y^-i*(x*wL_i + wO_i - b*s_inv_i) - 1) * H_i
+     + sum_j u_j^2 * L_j + sum_j u_j^-2 * R_j
+
+with delta = <y^-n o wR, wL> and u_g_i = 1 for phase-1 multipliers, u for
+phase-2 and padding.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+from .scalar import Scalar, exp_iter
+from .linear_combination import Variable, VarKind, LinearCombination, _coerce
+from .ristretto import RistrettoPoint, multiscalar_mul
+from .transcript import Transcript
+from .pedersen import PedersenGens, BulletproofGens
+from .proof import R1CSProof, _IDENTITY
+from .errors import VerificationError, InvalidGeneratorsLength, MissingAssignment
+from ..utils.stats import CircuitStats
+
+
+class Verifier:
+    def __init__(self, transcript: Transcript):
+        self.transcript = transcript
+        transcript.r1cs_domain_sep()
+        self.V: list[bytes] = []  # compressed commitments
+        self.num_vars = 0  # multipliers
+        self.constraints: list[LinearCombination] = []
+        self.pending_multiplier: int | None = None
+        self.deferred_constraints = []
+        self.num_phase1_multipliers = 0
+
+    # ------------------------------------------------------------ commitments
+    def commit(self, commitment: bytes) -> Variable:
+        i = len(self.V)
+        self.V.append(commitment)
+        self.transcript.append_point(b"V", commitment)
+        return Variable.committed(i)
+
+    # --------------------------------------------------- ConstraintSystem API
+    def multiply(self, left, right):
+        left = _coerce(left)
+        right = _coerce(right)
+        i = self.num_vars
+        self.num_vars += 1
+        l_var = Variable.mult_left(i)
+        r_var = Variable.mult_right(i)
+        o_var = Variable.mult_out(i)
+        self.constrain(left - l_var)
+        self.constrain(right - r_var)
+        return l_var, r_var, o_var
+
+    def allocate(self, assignment=None):
+        if self.pending_multiplier is None:
+            i = self.num_vars
+            self.num_vars += 1
+            self.pending_multiplier = i
+            return Variable.mult_left(i)
+        i = self.pending_multiplier
+        self.pending_multiplier = None
+        return Variable.mult_right(i)
+
+    def allocate_single(self, assignment=None):
+        var = self.allocate(assignment)
+        if var.kind == VarKind.MULT_RIGHT:
+            return var, Variable.mult_out(var.index)
+        return var, None
+
+    def allocate_multiplier(self, assignment=None):
+        i = self.num_vars
+        self.num_vars += 1
+        return (
+            Variable.mult_left(i),
+            Variable.mult_right(i),
+            Variable.mult_out(i),
+        )
+
+    def constrain(self, lc) -> None:
+        self.constraints.append(_coerce(lc))
+
+    def evaluate_lc(self, lc):
+        """Fork extension; verifier has no assignments -> None."""
+        return None
+
+    def specify_randomized_constraints(self, callback) -> None:
+        self.deferred_constraints.append(callback)
+
+    def num_constraints(self) -> int:
+        return len(self.constraints)
+
+    def num_multipliers(self) -> int:
+        return self.num_vars
+
+    def stats(self) -> CircuitStats:
+        return CircuitStats(
+            multipliers=self.num_vars,
+            constraints=len(self.constraints),
+            commitments=len(self.V),
+            phase1_multipliers=self.num_phase1_multipliers or self.num_vars,
+        )
+
+    # -------------------------------------------------------------- internals
+    def _flattened_constraints(self, z: Scalar, n: int):
+        wL = [Scalar.zero() for _ in range(n)]
+        wR = [Scalar.zero() for _ in range(n)]
+        wO = [Scalar.zero() for _ in range(n)]
+        wV = [Scalar.zero() for _ in range(len(self.V))]
+        wc = Scalar.zero()
+        exp_z = z
+        for lc in self.constraints:
+            for var, coeff in lc.terms:
+                k = var.kind
+                if k == VarKind.MULT_LEFT:
+                    wL[var.index] = wL[var.index] + exp_z * coeff
+                elif k == VarKind.MULT_RIGHT:
+                    wR[var.index] = wR[var.index] + exp_z * coeff
+                elif k == VarKind.MULT_OUT:
+                    wO[var.index] = wO[var.index] + exp_z * coeff
+                elif k == VarKind.COMMITTED:
+                    wV[var.index] = wV[var.index] - exp_z * coeff
+                else:  # ONE
+                    wc = wc - exp_z * coeff
+            exp_z = exp_z * z
+        return wL, wR, wO, wV, wc
+
+    def _create_randomized_constraints(self) -> None:
+        if not self.deferred_constraints:
+            self.transcript.r1cs_1phase_domain_sep()
+            return
+        self.transcript.r1cs_2phase_domain_sep()
+        callbacks = self.deferred_constraints
+        self.deferred_constraints = []
+        rcs = RandomizingVerifier(self)
+        for cb in callbacks:
+            cb(rcs)
+
+    # ------------------------------------------------------------------ verify
+    def verify(
+        self,
+        proof: R1CSProof,
+        pc_gens: PedersenGens,
+        bp_gens: BulletproofGens,
+        backend=None,
+    ) -> None:
+        t = self.transcript
+        t.append_u64(b"m", len(self.V))
+
+        n1 = self.num_vars
+        self.num_phase1_multipliers = n1
+        t.validate_and_append_point(b"A_I1", proof.A_I1)
+        t.validate_and_append_point(b"A_O1", proof.A_O1)
+        t.validate_and_append_point(b"S1", proof.S1)
+
+        self._create_randomized_constraints()
+        n = self.num_vars
+        n2 = n - n1
+        padded_n = max(1, n)
+        if padded_n & (padded_n - 1):
+            padded_n = 1 << padded_n.bit_length()
+        pad = padded_n - n
+        if bp_gens.gens_capacity < padded_n:
+            raise InvalidGeneratorsLength(
+                f"need {padded_n} generators, have {bp_gens.gens_capacity}"
+            )
+
+        # A_I2/A_O2/S2 may be the identity (one-phase); transcript still
+        # absorbs them, without the validity check.
+        t.append_point(b"A_I2", proof.A_I2)
+        t.append_point(b"A_O2", proof.A_O2)
+        t.append_point(b"S2", proof.S2)
+
+        y = t.challenge_scalar(b"y")
+        z = t.challenge_scalar(b"z")
+
+        wL, wR, wO, wV, wc = self._flattened_constraints(z, n)
+
+        t.validate_and_append_point(b"T_1", proof.T_1)
+        t.validate_and_append_point(b"T_3", proof.T_3)
+        t.validate_and_append_point(b"T_4", proof.T_4)
+        t.validate_and_append_point(b"T_5", proof.T_5)
+        t.validate_and_append_point(b"T_6", proof.T_6)
+
+        u = t.challenge_scalar(b"u")
+        x = t.challenge_scalar(b"x")
+
+        t.append_scalar(b"t_x", proof.t_x)
+        t.append_scalar(b"t_x_blinding", proof.t_x_blinding)
+        t.append_scalar(b"e_blinding", proof.e_blinding)
+
+        w = t.challenge_scalar(b"w")
+
+        u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(padded_n, t)
+        s_inv = list(reversed(s))
+        a = proof.ipp_proof.a
+        b = proof.ipp_proof.b
+
+        y_inv = y.invert()
+        exp_y_inv = exp_iter(y_inv, padded_n)
+
+        # delta = <y^-n o wR, wL>
+        delta = Scalar.zero()
+        for i in range(n):
+            delta = delta + exp_y_inv[i] * wR[i] * wL[i]
+
+        # random combining factor for the two checks
+        r = Scalar.from_bytes_mod_order_wide(secrets.token_bytes(64))
+
+        xx = x * x
+        u_g = [Scalar.one()] * n1 + [u] * (n2 + pad)
+
+        g_scalars = [
+            u_g[i]
+            * ((x * exp_y_inv[i] * (wR[i] if i < n else Scalar.zero())) - a * s[i])
+            for i in range(padded_n)
+        ]
+        h_scalars = [
+            u_g[i]
+            * (
+                exp_y_inv[i]
+                * (
+                    x * (wL[i] if i < n else Scalar.zero())
+                    + (wO[i] if i < n else Scalar.zero())
+                    - b * s_inv[i]
+                )
+                - Scalar.one()
+            )
+            for i in range(padded_n)
+        ]
+
+        B_scalar = w * (proof.t_x - a * b) + r * (xx * (wc + delta) - proof.t_x)
+        # The reconstructed P carries e_blinding*B_blinding which the
+        # (blinding-free) IPP relation must not see: subtract it here.
+        B_blinding_scalar = -proof.e_blinding - r * proof.t_x_blinding
+
+        scalars = (
+            [x, xx, xx * x, u * x, u * xx, u * xx * x]
+            + [r * xx * wV[j] for j in range(len(wV))]
+            + [r * x, r * xx * x, r * xx * xx, r * xx * xx * x, r * xx * xx * xx]
+            + [B_scalar, B_blinding_scalar]
+            + g_scalars
+            + h_scalars
+            + u_sq
+            + u_inv_sq
+        )
+
+        try:
+            points = (
+                [
+                    _decompress_allow_identity(proof.A_I1),
+                    _decompress_allow_identity(proof.A_O1),
+                    _decompress_allow_identity(proof.S1),
+                    _decompress_allow_identity(proof.A_I2),
+                    _decompress_allow_identity(proof.A_O2),
+                    _decompress_allow_identity(proof.S2),
+                ]
+                + [RistrettoPoint.decompress(Vj) for Vj in self.V]
+                + [
+                    RistrettoPoint.decompress(proof.T_1),
+                    RistrettoPoint.decompress(proof.T_3),
+                    RistrettoPoint.decompress(proof.T_4),
+                    RistrettoPoint.decompress(proof.T_5),
+                    RistrettoPoint.decompress(proof.T_6),
+                ]
+                + [pc_gens.B, pc_gens.B_blinding]
+                + bp_gens.share(0).G(padded_n)
+                + bp_gens.share(0).H(padded_n)
+                + [RistrettoPoint.decompress(L) for L in proof.ipp_proof.L_vec]
+                + [RistrettoPoint.decompress(R) for R in proof.ipp_proof.R_vec]
+            )
+        except ValueError as e:
+            raise VerificationError(f"invalid point encoding: {e}")
+
+        if backend is not None:
+            mega = backend.msm(scalars, points)
+        else:
+            mega = multiscalar_mul(scalars, points)
+        if not mega.is_identity():
+            raise VerificationError("R1CS proof verification failed")
+
+
+def _decompress_allow_identity(data: bytes) -> RistrettoPoint:
+    if data == _IDENTITY:
+        return RistrettoPoint.identity()
+    return RistrettoPoint.decompress(data)
+
+
+class RandomizingVerifier:
+    def __init__(self, verifier: Verifier):
+        self.verifier = verifier
+
+    def challenge_scalar(self, label: bytes) -> Scalar:
+        return self.verifier.transcript.challenge_scalar(label)
+
+    def __getattr__(self, name):
+        return getattr(self.verifier, name)
