@@ -171,12 +171,12 @@ class RistrettoPoint:
 
     # --- comparisons --------------------------------------------------------
     def __eq__(self, other) -> bool:
-        # ristretto equality: X1*Y2 == Y1*X2 or Y1*Y2 == -X1*X2... use encoding
+        # ristretto coset equality (dalek): X1Y2 == Y1X2 or X1X2 == Y1Y2
         if not isinstance(other, RistrettoPoint):
             return NotImplemented
         return (
             self.X * other.Y % P == self.Y * other.X % P
-            or self.Y * other.Y % P == (P - self.X * other.X % P) % P
+            or self.X * other.X % P == self.Y * other.Y % P
         )
 
     def is_identity(self) -> bool:

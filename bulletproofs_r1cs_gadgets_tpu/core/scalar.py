@@ -62,13 +62,8 @@ class Scalar:
         return NonReducedScalar(int.from_bytes(b, "little") & ((1 << 255) - 1))
 
     @staticmethod
-    def from_hex_be(hex_str: str) -> "Scalar":
-        """Reference's ``get_scalar_from_hex`` (scalar_utils.rs:232-237):
-        big-endian 32-byte hex -> from_bytes_mod_order of reversed bytes."""
-        s = hex_str[2:] if hex_str[:2] in ("0x", "0X") else hex_str
-        raw = bytes.fromhex(s)
-        assert len(raw) == 32
-        return Scalar.from_bytes_mod_order(raw[::-1])
+    def from_int(x: int) -> "Scalar":
+        return Scalar(x)
 
     @staticmethod
     def random(rng=None) -> "Scalar":
