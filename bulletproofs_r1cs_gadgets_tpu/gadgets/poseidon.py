@@ -29,6 +29,34 @@ from .poseidon_params import PoseidonParams
 PADDING_CONST = 101
 ZERO_CONST = 0
 
+try:
+    from ..native import _native as _NATIVE
+except Exception:  # pragma: no cover
+    _NATIVE = None
+
+_NATIVE_PARAM_CACHE: dict = {}
+
+
+def _poseidon_native(inputs, params, sbox):
+    key = id(params)
+    cached = _NATIVE_PARAM_CACHE.get(key)
+    if cached is None:
+        rk = b"".join(s.to_bytes() for s in params.round_keys)
+        mds = b"".join(s.to_bytes() for row in params.MDS_matrix for s in row)
+        cached = (rk, mds)
+        _NATIVE_PARAM_CACHE[key] = cached
+    rk, mds = cached
+    states = b"".join(s.to_bytes() for s in inputs)
+    out = _NATIVE.poseidon_permutation_batch(
+        states, 1, params.width, rk, mds,
+        params.full_rounds_beginning, params.partial_rounds,
+        params.full_rounds_end, 0 if sbox is SboxType.Cube else 1,
+    )
+    return [
+        Scalar(int.from_bytes(out[32 * i : 32 * i + 32], "little"))
+        for i in range(params.width)
+    ]
+
 
 class SboxType(Enum):
     Cube = "cube"
@@ -82,9 +110,15 @@ def simplify_lc(lc: LinearCombination) -> LinearCombination:
 def Poseidon_permutation(
     inputs: list[Scalar], params: PoseidonParams, sbox: SboxType
 ) -> list[Scalar]:
-    """Native permutation (``gadget_poseidon.rs:189-280``)."""
+    """Native permutation (``gadget_poseidon.rs:189-280``).
+
+    Dispatches to the C++ implementation (native/bptpu_native.cpp) when
+    built; the pure-Python path below is the reference oracle.
+    """
     width = params.width
     assert len(inputs) == width
+    if _NATIVE is not None:
+        return _poseidon_native(inputs, params, sbox)
     state = list(inputs)
     keys = params.round_keys
     mds = params.MDS_matrix

@@ -1,0 +1,290 @@
+// Native host-side primitives for bulletproofs_r1cs_gadgets_tpu.
+//
+// The reference stack's host-side hot loops live in Rust (curve25519-dalek
+// Scalar arithmetic, merlin's keccak; SURVEY.md S2b N1/N8).  This file is
+// their C++ equivalent for the rebuild: the TPU owns the batched proof
+// math, while the host owns transcripts and sparse-Merkle-tree maintenance
+// (SURVEY.md CS-5: 253 sequential Poseidon hashes per tree update), which
+// are latency- not throughput-bound and therefore belong on CPU.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this environment).
+//
+// Build: python -m bulletproofs_r1cs_gadgets_tpu.native.build
+//
+// Field arithmetic: 4x64-bit limbs with unsigned __int128 products,
+// reduction mod L = 2^252 + C by folding 2^252 == -C three times
+// (mirrors the TPU kernel's fold strategy in ops/field.py, so both sides
+// are testable against each other).
+
+#include <cstdint>
+#include <cstring>
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+extern "C" {
+
+// ------------------------------------------------------------------ keccak
+static const u64 KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+
+static inline u64 rotl64(u64 x, int n) { return (x << n) | (x >> (64 - n)); }
+
+void keccak_f1600(uint8_t state_bytes[200]) {
+  u64 a[25];
+  memcpy(a, state_bytes, 200);
+  for (int round = 0; round < 24; ++round) {
+    u64 c[5], d[5];
+    for (int x = 0; x < 5; ++x)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; ++x)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y) a[x + 5 * y] ^= d[x];
+    u64 b[25];
+    static const int rotc[5][5] = {{0, 36, 3, 41, 18},
+                                   {1, 44, 10, 45, 2},
+                                   {62, 6, 43, 15, 61},
+                                   {28, 55, 25, 21, 56},
+                                   {27, 20, 39, 8, 14}};
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y], rotc[x][y]);
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        a[x + 5 * y] = b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) &
+                                       b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= KECCAK_RC[round];
+  }
+  memcpy(state_bytes, a, 200);
+}
+
+// ------------------------------------------------------- scalar field (L)
+// L = 2^252 + C, C = 0x14def9dea2f79cd65812631a5cf5d3ed
+static const u64 L_LIMBS[4] = {0x5812631a5cf5d3edULL, 0x14def9dea2f79cd6ULL,
+                               0ULL, 0x1000000000000000ULL};
+static const u64 C_LIMBS[2] = {0x5812631a5cf5d3edULL, 0x14def9dea2f79cd6ULL};
+
+struct U256 {
+  u64 w[4];
+};
+
+static inline int ge_l(const u64 x[4]) {
+  for (int i = 3; i >= 0; --i) {
+    if (x[i] > L_LIMBS[i]) return 1;
+    if (x[i] < L_LIMBS[i]) return 0;
+  }
+  return 1;  // equal
+}
+
+static inline void sub_l(u64 x[4]) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 diff = (u128)x[i] - L_LIMBS[i] - borrow;
+    x[i] = (u64)diff;
+    borrow = (diff >> 64) ? 1 : 0;
+  }
+}
+
+// Shift L left by `s` bits into an 8-limb buffer.
+static void l_shifted(int s, u64 out[8]) {
+  memset(out, 0, 8 * sizeof(u64));
+  int limb = s / 64, off = s % 64;
+  for (int i = 0; i < 4; ++i) {
+    if (off == 0) {
+      if (limb + i < 8) out[limb + i] |= L_LIMBS[i];
+    } else {
+      u128 v = (u128)L_LIMBS[i] << off;
+      if (limb + i < 8) out[limb + i] |= (u64)v;
+      if (limb + i + 1 < 8) out[limb + i + 1] |= (u64)(v >> 64);
+    }
+  }
+}
+
+// x (8 limbs, < 2^512) -> x mod L (4 limbs).
+//
+// Each pass rewrites x = lo + 2^252*hi as lo + (L << k) - C*hi, where the
+// added multiple of L (pass-specific k: 200, 80, 0, 0) dominates C*hi, so
+// all arithmetic stays non-negative.  Value bounds per pass:
+//   < 2^512 -> < 2^454 -> < 2^334 -> < 2^254 -> < 2^253.2,
+// after which at most three conditional subtractions of L finish.
+static void reduce_wide(const u64 in[8], u64 out[4]) {
+  u64 x[8];
+  memcpy(x, in, 8 * sizeof(u64));
+  static const int KSHIFT[4] = {200, 80, 0, 0};
+
+  for (int pass = 0; pass < 4; ++pass) {
+    // hi = x >> 252 (5 limbs), lo = x mod 2^252
+    u64 hi[5];
+    for (int i = 0; i < 5; ++i) {
+      u64 lo_part = x[3 + i] >> 60;
+      u64 hi_part = (i + 4 < 8) ? (x[4 + i] << 4) : 0;
+      hi[i] = lo_part | hi_part;
+    }
+    u64 lo[4] = {x[0], x[1], x[2], x[3] & 0x0fffffffffffffffULL};
+    // prod = hi * C (5x2 -> up to 7 limbs)
+    u64 prod[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 5; ++i) {
+      u128 carry = 0;
+      for (int j = 0; j < 2; ++j) {
+        u128 cur = (u128)hi[i] * C_LIMBS[j] + prod[i + j] + carry;
+        prod[i + j] = (u64)cur;
+        carry = cur >> 64;
+      }
+      for (int k = i + 2; carry && k < 8; ++k) {
+        u128 cur = (u128)prod[k] + carry;
+        prod[k] = (u64)cur;
+        carry = cur >> 64;
+      }
+    }
+    // x = lo + (L << KSHIFT[pass]) - prod   (non-negative by construction)
+    u64 kl[8];
+    l_shifted(KSHIFT[pass], kl);
+    u128 carry = 0;
+    for (int i = 0; i < 8; ++i) {
+      u128 cur = (u128)((i < 4) ? lo[i] : 0) + kl[i] + carry;
+      x[i] = (u64)cur;
+      carry = cur >> 64;
+    }
+    u128 borrow = 0;
+    for (int i = 0; i < 8; ++i) {
+      u128 diff = (u128)x[i] - prod[i] - borrow;
+      x[i] = (u64)diff;
+      borrow = (diff >> 64) ? 1 : 0;
+    }
+  }
+  u64 fin[4] = {x[0], x[1], x[2], x[3]};
+  while (ge_l(fin)) sub_l(fin);
+  memcpy(out, fin, 4 * sizeof(u64));
+}
+
+void sc_mul(const u64 a[4], const u64 b[4], u64 out[4]) {
+  u64 prod[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 cur = (u128)a[i] * b[j] + prod[i + j] + carry;
+      prod[i + j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    prod[i + 4] += (u64)carry;
+  }
+  reduce_wide(prod, out);
+}
+
+void sc_add(const u64 a[4], const u64 b[4], u64 out[4]) {
+  u128 carry = 0;
+  u64 sum[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 cur = (u128)a[i] + b[i] + carry;
+    sum[i] = (u64)cur;
+    carry = cur >> 64;
+  }
+  sum[4] = (u64)carry;
+  reduce_wide(sum, out);
+}
+
+void sc_sub(const u64 a[4], const u64 b[4], u64 out[4]) {
+  // a - b mod L: a + (L - b)
+  u64 nb[4];
+  memcpy(nb, L_LIMBS, sizeof(nb));
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 diff = (u128)nb[i] - b[i] - borrow;
+    nb[i] = (u64)diff;
+    borrow = (diff >> 64) ? 1 : 0;
+  }
+  sc_add(a, nb, out);
+}
+
+void sc_inv(const u64 a[4], u64 out[4]) {
+  // Fermat: a^(L-2); fixed 252-bit square-and-multiply (MSB first).
+  // exponent e = L - 2
+  u64 e[4];
+  memcpy(e, L_LIMBS, sizeof(e));
+  // subtract 2
+  if (e[0] >= 2) {
+    e[0] -= 2;
+  } else {
+    e[0] = e[0] - 2;  // wraps; cannot happen for L
+  }
+  u64 acc[4] = {1, 0, 0, 0};
+  bool started = false;
+  for (int bit = 255; bit >= 0; --bit) {
+    if (started) sc_mul(acc, acc, acc);
+    int limb = bit / 64, off = bit % 64;
+    if ((e[limb] >> off) & 1) {
+      sc_mul(acc, a, acc);
+      started = true;
+    }
+  }
+  memcpy(out, acc, sizeof(acc));
+}
+
+// ----------------------------------------------------------- poseidon (L)
+// Generic width-6 Poseidon permutation over Z/L matching
+// gadgets/poseidon.py (reference gadget_poseidon.rs:189-280).
+// sbox_type: 0 = cube, 1 = inverse.
+// round_keys: (total_rounds * width) scalars; mds: width*width scalars,
+// all as 4x64-bit LE limb vectors.
+void poseidon_permutation(const u64* state_in, u64* state_out, int width,
+                          const u64* round_keys, const u64* mds,
+                          int full_b, int partial, int full_e,
+                          int sbox_type) {
+  u64 st[16][4];
+  for (int i = 0; i < width; ++i) memcpy(st[i], state_in + 4 * i, 32);
+  int off = 0;
+  int total = full_b + partial + full_e;
+  u64 tmp[16][4];
+  for (int r = 0; r < total; ++r) {
+    bool full = (r < full_b) || (r >= full_b + partial);
+    for (int i = 0; i < width; ++i) {
+      sc_add(st[i], round_keys + 4 * (off + i), st[i]);
+    }
+    off += width;
+    for (int i = 0; i < width; ++i) {
+      bool apply = full || (i == width - 1);
+      if (!apply) continue;
+      if (sbox_type == 0) {
+        u64 sq[4];
+        sc_mul(st[i], st[i], sq);
+        sc_mul(sq, st[i], st[i]);
+      } else {
+        sc_inv(st[i], st[i]);
+      }
+    }
+    // linear layer: tmp[i] = sum_j mds[i][j] * st[j]
+    for (int i = 0; i < width; ++i) {
+      u64 acc[4] = {0, 0, 0, 0};
+      for (int j = 0; j < width; ++j) {
+        u64 prod[4];
+        sc_mul(mds + 4 * (i * width + j), st[j], prod);
+        sc_add(acc, prod, acc);
+      }
+      memcpy(tmp[i], acc, 32);
+    }
+    for (int i = 0; i < width; ++i) memcpy(st[i], tmp[i], 32);
+  }
+  for (int i = 0; i < width; ++i) memcpy(state_out + 4 * i, st[i], 32);
+}
+
+// Batched permutation: n independent states (for bulk tree verification).
+void poseidon_permutation_batch(const u64* states_in, u64* states_out, int n,
+                                int width, const u64* round_keys,
+                                const u64* mds, int full_b, int partial,
+                                int full_e, int sbox_type) {
+  for (int k = 0; k < n; ++k) {
+    poseidon_permutation(states_in + 4 * width * k, states_out + 4 * width * k,
+                         width, round_keys, mds, full_b, partial, full_e,
+                         sbox_type);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,82 @@
+"""ctypes loader (and on-demand builder) for the native helper library."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "bptpu_native.cpp")
+_SO = os.path.join(_DIR, "libbptpu.so")
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library with g++ (idempotent)."""
+    if not force and os.path.exists(_SO) and os.path.getmtime(
+        _SO
+    ) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", _SO, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+class _Native:
+    """Typed wrappers over the C ABI."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.keccak_f1600.argtypes = [ctypes.c_char_p]
+        for name in ("sc_mul", "sc_add", "sc_sub"):
+            getattr(lib, name).argtypes = [ctypes.c_char_p] * 3
+        lib.sc_inv.argtypes = [ctypes.c_char_p] * 2
+        lib.poseidon_permutation_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+
+    def keccak_f1600(self, state: bytearray) -> None:
+        buf = (ctypes.c_char * 200).from_buffer(state)
+        self._lib.keccak_f1600(buf)
+
+    def sc_op(self, name: str, a: bytes, b: bytes) -> bytes:
+        out = ctypes.create_string_buffer(32)
+        getattr(self._lib, name)(a, b, out)
+        return out.raw
+
+    def sc_inv(self, a: bytes) -> bytes:
+        out = ctypes.create_string_buffer(32)
+        self._lib.sc_inv(a, out)
+        return out.raw
+
+    def poseidon_permutation_batch(
+        self,
+        states: bytes,
+        n: int,
+        width: int,
+        round_keys: bytes,
+        mds: bytes,
+        full_b: int,
+        partial: int,
+        full_e: int,
+        sbox_type: int,
+    ) -> bytes:
+        out = ctypes.create_string_buffer(len(states))
+        self._lib.poseidon_permutation_batch(
+            states, out, n, width, round_keys, mds, full_b, partial, full_e,
+            sbox_type,
+        )
+        return out.raw
+
+
+def load_native() -> _Native | None:
+    try:
+        so = build()
+        return _Native(ctypes.CDLL(so))
+    except Exception:
+        return None
