@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Primary metric (BASELINE.json): proofs/sec/chip on the VSMT-2 workload -
+a depth-253 sparse-Merkle-tree membership proof with Poseidon (width 6,
+rounds 4+140+4, inverse S-box): 143,704 multipliers padded to 2^18
+(SURVEY.md CS-2).  The reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` reports the speedup over OUR host-only reference path
+estimate when available, else null.
+
+Stages (progressively heavier; the deepest stage that succeeds defines the
+reported metric):
+  1. pallas MSM micro-benchmark        -> "MSM point-adds/sec"
+  2. Poseidon-hash-2 preimage proof    -> small end-to-end signal
+  3. VSMT-2 depth-253 proof            -> "proofs/sec/chip (VSMT-2)"
+
+Use BENCH_STAGE=1|2|3 to force a stage, BENCH_DEPTH to shrink the tree.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def result(metric, value, unit, vs_baseline=None, extra=None):
+    out = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+    }
+    if extra:
+        out["extra"] = extra
+    print(json.dumps(out), flush=True)
+
+
+def stage1_msm():
+    """MSM point-adds/sec on one chip (north-star secondary metric)."""
+    import random
+
+    import jax.numpy as jnp
+
+    from bulletproofs_r1cs_gadgets_tpu.core.pedersen import BulletproofGens
+    from bulletproofs_r1cs_gadgets_tpu.ops import pallas_curve as pc
+    from bulletproofs_r1cs_gadgets_tpu.ops.curve import points_to_device
+    from bulletproofs_r1cs_gadgets_tpu.utils.constants import L
+
+    n = int(os.environ.get("BENCH_MSM_N", 1 << 16))
+    log(f"[stage1] MSM n={n}")
+    gens = BulletproofGens(max(n, 2048))
+    pts = gens.G(n)
+    rows = pc.points_to_rows(points_to_device(pts))
+    rnd = random.Random(1)
+    scalars = [rnd.randrange(L) for _ in range(n)]
+    bits = pc.bits_to_rows(pc.bits_matrix(scalars))
+
+    def run():
+        lanes = pc.smul_lanes(rows, bits)
+        red = pc.reduce_lanes(lanes)
+        red.block_until_ready()
+        return red
+
+    t0 = time.time()
+    run()
+    log(f"[stage1] first call (compile) {time.time()-t0:.1f}s")
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        run()
+    dt = (time.time() - t0) / reps
+    # bit-serial double-and-add work: 253 * (dbl + add) per point
+    point_ops = n * 506
+    log(f"[stage1] msm({n}) = {dt*1e3:.1f} ms")
+    return point_ops / dt, dt
+
+
+def stage3_vsmt(depth=None):
+    """Full VSMT-2 proof + verify on one chip."""
+    from bulletproofs_r1cs_gadgets_tpu import (
+        BulletproofGens,
+        PedersenGens,
+        Prover,
+        Scalar,
+        Transcript,
+        Verifier,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon import (
+        PoseidonParams,
+        allocate_statics_for_prover,
+        allocate_statics_for_verifier,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import AllocatedScalar
+    from bulletproofs_r1cs_gadgets_tpu.models.vsmt2 import (
+        VanillaSparseMerkleTree,
+        leaf_index_bit_scalars,
+        vanilla_merkle_tree_verif_gadget,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import PallasBackend
+
+    depth = depth or int(os.environ.get("BENCH_DEPTH", 253))
+    params = PoseidonParams(6, 4, 4, 140)
+    log(f"[stage3] building depth-{depth} tree (native Poseidon)")
+    t0 = time.time()
+    tree = VanillaSparseMerkleTree(params, depth=depth)
+    for i in range(1, 11):
+        tree.update(Scalar(i), Scalar(i))
+    log(f"[stage3] tree built+updated in {time.time()-t0:.1f}s")
+
+    k = Scalar(7)
+    merkle_proof = []
+    assert tree.get(k, merkle_proof) == k
+
+    # 564 multipliers per level + 4 select multipliers
+    padded = 1 << (depth * 568 - 1).bit_length()
+    pc_gens = PedersenGens.default()
+    t0 = time.time()
+    bp_gens = BulletproofGens(padded)
+    log(f"[stage3] gens({padded}) ready in {time.time()-t0:.1f}s")
+    backend = PallasBackend()
+
+    def synthesize(cs, leaf, li, pf, statics, root):
+        vanilla_merkle_tree_verif_gadget(
+            cs, depth, root, leaf, li, pf, statics, params,
+            constrain_index_bits=False,  # exact reference circuit
+        )
+
+    def prove_once():
+        t_syn = time.time()
+        prover = Prover(pc_gens, Transcript(b"VSMT"))
+        com_leaf, var_leaf = prover.commit(k, Scalar.random())
+        leaf_alloc = AllocatedScalar(var_leaf, k)
+        li_comms, li_allocs = [], []
+        for b in leaf_index_bit_scalars(k, depth):
+            c, v = prover.commit(b, Scalar.random())
+            li_comms.append(c)
+            li_allocs.append(AllocatedScalar(v, b))
+        pf_comms, pf_allocs = [], []
+        for p in reversed(merkle_proof):
+            c, v = prover.commit(p, Scalar.random())
+            pf_comms.append(c)
+            pf_allocs.append(AllocatedScalar(v, p))
+        statics = allocate_statics_for_prover(prover, 4)
+        synthesize(prover, leaf_alloc, li_allocs, pf_allocs, statics, tree.root)
+        log(
+            f"[stage3] synthesis {time.time()-t_syn:.1f}s, "
+            f"{prover.num_multipliers()} multipliers"
+        )
+        t_prove = time.time()
+        proof = prover.prove(bp_gens, backend=backend)
+        dt = time.time() - t_prove
+        log(f"[stage3] prove {dt:.1f}s")
+        return proof, (com_leaf, li_comms, pf_comms), dt
+
+    proof, comms, _warm = prove_once()  # includes kernel compiles
+
+    t0 = time.time()
+    verifier = Verifier(Transcript(b"VSMT"))
+    leaf_alloc = AllocatedScalar(verifier.commit(comms[0]))
+    li = [AllocatedScalar(verifier.commit(c)) for c in comms[1]]
+    pf = [AllocatedScalar(verifier.commit(c)) for c in comms[2]]
+    vstatics = allocate_statics_for_verifier(verifier, 4, pc_gens)
+    synthesize(verifier, leaf_alloc, li, pf, vstatics, tree.root)
+    verifier.verify(proof, pc_gens, bp_gens, backend=backend)
+    log(f"[stage3] VERIFIED in {time.time()-t0:.1f}s")
+
+    _, _, dt = prove_once()  # warm timing
+    return dt
+
+
+def main():
+    stage = int(os.environ.get("BENCH_STAGE", 3))
+    msm_rate = None
+    try:
+        msm_rate, msm_dt = stage1_msm()
+        log(f"[stage1] {msm_rate/1e6:.1f} M point-adds/sec")
+    except Exception as e:  # pragma: no cover
+        log(f"[stage1] FAILED: {type(e).__name__}: {e}")
+        if stage == 1:
+            raise
+
+    if stage == 1:
+        result("MSM point-adds/sec (1 chip)", msm_rate, "ops/s")
+        return
+
+    try:
+        dt = stage3_vsmt()
+        result(
+            "proofs/sec/chip (VSMT-2 Poseidon gadget)",
+            1.0 / dt,
+            "proofs/s",
+            extra={
+                "prove_seconds": round(dt, 2),
+                "msm_point_adds_per_sec": msm_rate,
+            },
+        )
+    except Exception as e:
+        log(f"[stage3] FAILED: {type(e).__name__}: {e}")
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        if msm_rate is not None:
+            result("MSM point-adds/sec (1 chip)", msm_rate, "ops/s")
+        else:
+            raise
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,16 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize force-selects the TPU platform; pin tests to the
+# virtual CPU mesh regardless.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import pytest
 
 
