@@ -57,13 +57,12 @@ def stage1_msm():
     rows = pc.points_to_rows(points_to_device(pts))
     rnd = random.Random(1)
     scalars = [rnd.randrange(L) for _ in range(n)]
-    bits = pc.bits_to_rows(pc.bits_matrix(scalars))
+    words = pc.words_to_rows(pc.words_matrix(scalars))
 
     def run():
-        lanes = pc.smul_lanes(rows, bits)
-        red = pc.reduce_lanes(lanes)
-        red.block_until_ready()
-        return red
+        totals = pc.msm_block_totals(rows, words)
+        totals.block_until_ready()
+        return totals
 
     t0 = time.time()
     run()

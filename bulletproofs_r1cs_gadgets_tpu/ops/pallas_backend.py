@@ -1,11 +1,14 @@
 """Prover/verifier device backend built on the Pallas kernels.
 
 Same interface as :class:`.backend.DeviceBackend` (phase_commitments /
-ipp_create / msm) but every MSM is one ``msm_lanes`` dispatch (signed 4-bit
-windows) + a ``reduce_lanes`` halving chain, and the IPP generator folds are
-``fold_chunk`` dispatches.  Only transcripts and O(n) scalar folds stay on
-host.  This is the production TPU path; :class:`.backend.DeviceBackend`
-remains the XLA-composed variant (used as a CPU-testable oracle).
+ipp_create / msm), with every MSM a single ``msm_block_totals`` dispatch
+(bit-serial per-lane ladders + in-kernel block reduction; per-block totals
+are combined on host - at most a few hundred adds).  The IPP fuses the two
+L/R MSMs per round into one dispatch (block-aligned lane packing) and folds
+both generator vectors in one ``fold_chunk`` dispatch.  Only transcripts
+and O(n) scalar folds stay on host.  This is the production TPU path;
+:class:`.backend.DeviceBackend` remains the XLA-composed variant (the
+CPU-testable oracle).
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from . import pallas_curve as pcurve
 MIN_DEVICE_N = 1024
 
 
-_bits_matrix = pcurve.bits_matrix
+_words_matrix = pcurve.words_matrix
 
 
 def _pad_pts(rows: jnp.ndarray, n: int, target: int) -> jnp.ndarray:
@@ -51,19 +54,55 @@ class PallasBackend:
     # backend small loop bodies run at hardware speed while the windowed
     # table kernel (msm_lanes) hits a scratch/dynamic-store pathology --
     # see ops/pallas_curve.py; revisit when that is fixed.
-    def _msm_rows(self, scalars: list[int], rows: jnp.ndarray, n: int):
-        """MSM over the first n lanes of a (92, 8, LAN) rows array."""
+    def _msm_to_point(self, scalars, rows, n) -> RistrettoPoint:
+        """One-dispatch MSM (in-kernel block reduction) + tiny host combine
+        of the per-block totals."""
         target = -(-n // pcurve.BLOCK_PTS) * pcurve.BLOCK_PTS
         rows = _pad_pts(rows, n, target)
-        bits = pcurve.bits_matrix(scalars + [0] * (target - len(scalars)))
-        lanes = pcurve.smul_lanes(rows, pcurve.bits_to_rows(bits))
-        red = pcurve.reduce_lanes(lanes)
-        return red
+        words = pcurve.words_matrix(scalars + [0] * (target - len(scalars)))
+        totals = pcurve.msm_block_totals(rows, pcurve.words_to_rows(words))
+        pts = points_from_device(totals)
+        acc = pts[0]
+        for p in pts[1:]:
+            acc = acc + p
+        return acc
 
-    def _msm_to_point(self, scalars, rows, n) -> RistrettoPoint:
-        red = self._msm_rows(scalars, rows, n)
-        pts = pcurve.rows_to_points(red)[:1]
-        return points_from_device(pts)[0]
+    def _msm_pair(self, sc_a, flat_a, sc_b, flat_b, m):
+        """Two same-sized MSMs fused into one dispatch: each occupies whole
+        blocks, so per-block totals attribute cleanly to one MSM."""
+        target = -(-m // pcurve.BLOCK_PTS) * pcurve.BLOCK_PTS
+        ka = target // pcurve.BLOCK_PTS
+
+        def prep(flat):
+            # flat (92, m-ish) -> (92, SUB, target/SUB); the flat->3D reshape
+            # is sublane-major, so whole-array reshape keeps this MSM's
+            # points inside its own lane range after axis-2 concatenation.
+            padded = jnp.concatenate(
+                [flat, pcurve._ident_flat(target - flat.shape[-1])], axis=1
+            )
+            return padded.reshape(
+                pcurve.ROWS, pcurve.SUB, target // pcurve.SUB
+            )
+
+        rows = jnp.concatenate([prep(flat_a), prep(flat_b)], axis=2)
+        pad = [0] * (target - m)
+        words = jnp.concatenate(
+            [
+                pcurve.words_to_rows(pcurve.words_matrix(sc_a + pad)),
+                pcurve.words_to_rows(pcurve.words_matrix(sc_b + pad)),
+            ],
+            axis=2,
+        )
+        totals = pcurve.msm_block_totals(rows, words)
+        pts = points_from_device(totals)
+
+        def comb(group):
+            acc = group[0]
+            for p in group[1:]:
+                acc = acc + p
+            return acc
+
+        return comb(pts[:ka]), comb(pts[ka:])
 
     def msm(
         self, scalars: list[Scalar], points: list[RistrettoPoint]
@@ -190,13 +229,7 @@ class PallasBackend:
                 [G_flat[:, :n], H_flat[:, n:], Q_flat], axis=1
             )
             m = 2 * n + 1
-            mp = _pad8(m)
-            def to_rows(flat):
-                return jnp.concatenate(
-                    [flat, pcurve._ident_flat(mp - m)], axis=1
-                ).reshape(pcurve.ROWS, pcurve.SUB, mp // pcurve.SUB)
-            L_pt = self._msm_to_point(sc_L, to_rows(pts_L), m)
-            R_pt = self._msm_to_point(sc_R, to_rows(pts_R), m)
+            L_pt, R_pt = self._msm_pair(sc_L, pts_L, sc_R, pts_R, m)
             L_c = L_pt.compress()
             R_c = R_pt.compress()
             L_vec.append(L_c)
@@ -218,9 +251,42 @@ class PallasBackend:
                 gr = [u.v] * n
                 hl = [u.v] * n
                 hr = [u_inv.v] * n
-            G_flat = self._fold(G_flat, n, gl, gr)
-            H_flat = self._fold(H_flat, n, hl, hr)
+            G_flat, H_flat = self._fold_pair(
+                G_flat, H_flat, n, gl, gr, hl, hr
+            )
         return InnerProductProof(L_vec, R_vec, a[0], b[0])
+
+    def _fold_pair(self, g_flat, h_flat, n, gl, gr, hl, hr):
+        """Fold both generator vectors in ONE fold_chunk dispatch (lane-axis
+        concatenation keeps each vector in its own block range)."""
+        np_ = _pad_to_block(n)
+
+        def prep(flat, lo, hi):
+            part = jnp.concatenate(
+                [flat[:, lo:hi], pcurve._ident_flat(np_ - (hi - lo))], axis=1
+            )
+            return part.reshape(pcurve.ROWS, pcurve.SUB, np_ // pcurve.SUB)
+
+        left = jnp.concatenate(
+            [prep(g_flat, 0, n), prep(h_flat, 0, n)], axis=2
+        )
+        right = jnp.concatenate(
+            [prep(g_flat, n, 2 * n), prep(h_flat, n, 2 * n)], axis=2
+        )
+
+        def prep_words(sc):
+            mat = np.concatenate(
+                [_words_matrix(sc), np.zeros((np_ - n, 8), np.int32)]
+            )
+            return pcurve.words_to_rows(mat)
+
+        bl = jnp.concatenate([prep_words(gl), prep_words(hl)], axis=2)
+        br = jnp.concatenate([prep_words(gr), prep_words(hr)], axis=2)
+        folded = pcurve.fold_chunk(left, right, bl, br)
+        lanes = np_ // pcurve.SUB
+        g_out = folded[:, :, :lanes].reshape(pcurve.ROWS, np_)[:, :n]
+        h_out = folded[:, :, lanes:].reshape(pcurve.ROWS, np_)[:, :n]
+        return g_out, h_out
 
     def _fold(self, flat, n, s_left, s_right):
         """flat (92, 2n) -> (92, n): out_i = s_left_i*P_i + s_right_i*P_{n+i}."""
@@ -231,14 +297,14 @@ class PallasBackend:
         right = jnp.concatenate(
             [flat[:, n : 2 * n], pcurve._ident_flat(np_ - n)], axis=1
         ).reshape(pcurve.ROWS, pcurve.SUB, np_ // pcurve.SUB)
-        bl = pcurve.bits_to_rows(
+        bl = pcurve.words_to_rows(
             np.concatenate(
-                [_bits_matrix(s_left), np.zeros((np_ - n, 256), np.int32)]
+                [_words_matrix(s_left), np.zeros((np_ - n, 8), np.int32)]
             )
         )
-        br = pcurve.bits_to_rows(
+        br = pcurve.words_to_rows(
             np.concatenate(
-                [_bits_matrix(s_right), np.zeros((np_ - n, 256), np.int32)]
+                [_words_matrix(s_right), np.zeros((np_ - n, 8), np.int32)]
             )
         )
         folded = pcurve.fold_chunk(left, right, bl, br)

@@ -1,16 +1,21 @@
 """Pallas TPU kernels for limb-field arithmetic (the speed-of-light path).
 
-Why Pallas here (measured on this TPU): Mosaic compiles the unrolled
-convolution bodies in seconds where XLA takes minutes-to-hours for the same
-graphs, and keeps every intermediate in VMEM - the XLA path materialises the
+Why Pallas here (measured on this TPU): Mosaic compiles these kernels in
+seconds-to-minutes where XLA takes minutes-to-hours for equivalent graphs,
+and keeps every intermediate in VMEM - the XLA path materialises the
 (B, 23, 23) product tensor through HBM and runs ~20 M muls/s; these kernels
-avoid that traffic entirely.
+reach 0.6-2.4 G muls/s.
 
-Layout: *limb-major* blocks ``(STORE, B)`` - limbs on sublanes (23 -> padded
-to 24 by the hardware), batch on the 128-wide lane dimension.  The math is
-identical to :mod:`.field` (balanced 12-bit limbs, limb-aligned folds);
-``emit_*`` helpers generate the in-kernel op sequence so the same code
-serves field kernels, point kernels and the MSM kernel.
+Layout: *limb-major stacked* - a batch of N field elements is a
+``(STORE, 8, N/8)`` int32 array (limbs on the leading axis, batch spread
+over a full 8-sublane x lanes vreg footprint).  The emit_* helpers operate
+on whole stacked arrays (ONE jnp op per limb-parallel step), which keeps
+traced-op counts ~15x smaller than per-limb-row code - tracing and Mosaic
+compile time scale with op count, and on this backend that is the dominant
+cold-start cost.
+
+The math is identical to :mod:`.field` (balanced 12-bit limbs, limb-aligned
+folds): mod L folds at 2^252 == -c, mod P at 2^264 == 19*2^9.
 """
 
 from __future__ import annotations
@@ -18,18 +23,16 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.constants import P, L
 from .field import LIMB_BITS, RADIX, HALF, STORE, int_to_limbs
 
-# fold parameters (mirrors field.py: FQ folds at limb 21, FP at limb 22)
 _FQ_FOLD_LIMB = 21
-_FQ_FOLD = -(L - (1 << 252))  # == 2^252 mod L, 11 limbs, negative
+_FQ_FOLD = -(L - (1 << 252))
 _FP_FOLD_LIMB = 22
-_FP_FOLD = 19 << 9  # == 2^264 mod P, single limb
+_FP_FOLD = 19 << 9
 
 
 def _fold_const_rows(value: int) -> list[int]:
@@ -46,101 +49,72 @@ _FOLDS = {
 
 
 # -------------------------------------------------------- in-kernel emitters
-# Values are Python lists of (B,)-shaped jnp vectors, one per limb -
-# fully unrolled so Mosaic sees straight-line vector code.
+# Values are stacked arrays of shape (nlimbs, ...) - typically
+# (nlimbs, 8, LAN) inside kernels.  All helpers are pure jnp and also work
+# outside Pallas (used by tests via interpret-free CPU paths).
 
-def emit_load(ref, n: int = STORE):
-    return [ref[i, :] for i in range(n)]
+def _zeros_like_rows(x, nrows):
+    return jnp.zeros((nrows,) + x.shape[1:], dtype=x.dtype)
 
 
-def emit_store(ref, rows):
-    for i, r in enumerate(rows):
-        ref[i, :] = r
+def _pad_rows(x, lo, hi):
+    """Pad `lo` zero-rows below and `hi` above along the limb axis."""
+    pads = [(lo, hi)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pads)
 
 
 def emit_add(a, b):
-    n = max(len(a), len(b))
-    out = []
-    for i in range(n):
-        x = a[i] if i < len(a) else None
-        y = b[i] if i < len(b) else None
-        out.append(x + y if (x is not None and y is not None) else (x if x is not None else y))
-    return out
+    n = max(a.shape[0], b.shape[0])
+    return _pad_rows(a, 0, n - a.shape[0]) + _pad_rows(b, 0, n - b.shape[0])
 
 
 def emit_sub(a, b):
-    out = []
-    for i in range(max(len(a), len(b))):
-        x = a[i] if i < len(a) else None
-        y = b[i] if i < len(b) else None
-        if x is None:
-            out.append(-y)
-        elif y is None:
-            out.append(x)
-        else:
-            out.append(x - y)
-    return out
+    n = max(a.shape[0], b.shape[0])
+    return _pad_rows(a, 0, n - a.shape[0]) - _pad_rows(b, 0, n - b.shape[0])
 
 
-def emit_carry(rows):
-    """One balanced carry round (extends by one limb)."""
-    out = []
-    carry = None
-    for r in rows:
-        t = r if carry is None else r + carry
-        c = (t + HALF) >> LIMB_BITS
-        out.append(t - (c << LIMB_BITS))
-        carry = c
-    out.append(carry)
-    return out
+def emit_carry(x):
+    """One balanced carry round (extends the limb axis by one)."""
+    carry = (x + HALF) >> LIMB_BITS
+    rem = x - (carry << LIMB_BITS)
+    return _pad_rows(rem, 0, 1) + _pad_rows(carry, 1, 0)
 
 
 def emit_conv(a, b):
-    """Schoolbook limb convolution (exact in int32 for balanced inputs)."""
-    n, m = len(a), len(b)
-    out = [None] * (n + m - 1)
+    """Limb convolution via shifted multiply-accumulate: len(a) fused ops."""
+    n, m = a.shape[0], b.shape[0]
+    out_len = n + m - 1
+    acc = None
     for i in range(n):
-        for j in range(m):
-            t = a[i] * b[j]
-            out[i + j] = t if out[i + j] is None else out[i + j] + t
-    return out
+        term = a[i : i + 1] * b  # (m, ...)
+        term = _pad_rows(term, i, out_len - m - i)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def emit_scale_const(a, k: int):
-    return [r * k for r in a]
+    return a * jnp.int32(k)
 
 
-def _emit_fold_once(rows, fold_limb: int, fold_rows: list[int]):
-    lo = rows[:fold_limb]
-    hi = rows[fold_limb:]
-    # prod = conv(hi, fold_const)
-    prod = [None] * (len(hi) + len(fold_rows) - 1)
-    for i, h in enumerate(hi):
-        for j, c in enumerate(fold_rows):
-            t = h * c
-            prod[i + j] = t if prod[i + j] is None else prod[i + j] + t
-    width = max(STORE, len(prod), len(lo))
-    out = []
-    for i in range(width):
-        x = lo[i] if i < len(lo) else None
-        y = prod[i] if i < len(prod) else None
-        if x is None and y is None:
-            out.append(jnp.zeros_like(rows[0]))
-        elif x is None:
-            out.append(y)
-        elif y is None:
-            out.append(x)
-        else:
-            out.append(x + y)
-    return out
+def _emit_fold_once(x, fold_limb: int, fold_rows: list[int]):
+    lo = x[:fold_limb]
+    hi = x[fold_limb:]
+    acc = None
+    for j, c in enumerate(fold_rows):
+        term = hi * jnp.int32(c)
+        term = _pad_rows(term, j, len(fold_rows) - 1 - j)
+        acc = term if acc is None else acc + term
+    width = max(STORE, acc.shape[0], fold_limb)
+    return _pad_rows(lo, 0, width - lo.shape[0]) + _pad_rows(
+        acc, 0, width - acc.shape[0]
+    )
 
 
-def emit_reduce(rows, field: str):
-    """Arbitrary-length limb rows -> STORE balanced limbs (same scheme and
+def emit_reduce(x, field: str):
+    """Arbitrary-length limb stack -> STORE balanced limbs (same scheme and
     bounds as field.LimbField._reduce)."""
     fold_limb, fold_rows = _FOLDS[field]
-    x = rows
-    while len(x) > STORE:
+    while x.shape[0] > STORE:
         x = emit_carry(emit_carry(x))
         x = _emit_fold_once(x, fold_limb, fold_rows)
     for _ in range(2):
@@ -154,19 +128,29 @@ def emit_mul(a, b, field: str):
     return emit_reduce(emit_conv(a, b), field)
 
 
+def emit_mul_const(a, const_rows: list[int], field: str):
+    """Multiply by a small constant given as limb ints (no captured arrays -
+    Pallas kernels cannot close over device constants)."""
+    acc = None
+    for j, c in enumerate(const_rows):
+        term = _pad_rows(a * jnp.int32(c), j, len(const_rows) - 1 - j)
+        acc = term if acc is None else acc + term
+    return emit_reduce(acc, field)
+
+
 def emit_square(a, field: str):
     return emit_mul(a, a, field)
 
 
 # --------------------------------------------------------- standalone kernels
+BLOCK_LAN = 256  # lanes per grid step for the field kernels
+
+
 def _mul_kernel(field):
     def kernel(a_ref, b_ref, o_ref):
-        emit_store(o_ref, emit_mul(emit_load(a_ref), emit_load(b_ref), field))
+        o_ref[...] = emit_mul(a_ref[...], b_ref[...], field)
 
     return kernel
-
-
-BLOCK_B = 512  # lanes per grid step (VMEM: ~50 KB per (23, 512) operand)
 
 
 def _make_mul(field: str):
@@ -174,20 +158,20 @@ def _make_mul(field: str):
 
     @jax.jit
     def mul(a, b):
-        # a, b: (STORE, B); grid over the lane dim in BLOCK_B columns
-        B = a.shape[-1]
-        if B <= BLOCK_B:
+        # a, b: (STORE, 8, LAN) stacked limb arrays
+        lan = a.shape[-1]
+        if lan <= BLOCK_LAN:
             return pl.pallas_call(
                 kern,
                 out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             )(a, b)
-        assert B % BLOCK_B == 0, "batch must be a multiple of BLOCK_B"
-        spec = pl.BlockSpec((STORE, BLOCK_B), lambda i: (0, i))
+        assert lan % BLOCK_LAN == 0
+        spec = pl.BlockSpec((STORE, 8, BLOCK_LAN), lambda i: (0, 0, i))
         return pl.pallas_call(
             kern,
-            grid=(B // BLOCK_B,),
+            grid=(lan // BLOCK_LAN,),
             out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
             in_specs=[spec, spec],
             out_specs=spec,
@@ -201,9 +185,13 @@ mul_fp = _make_mul("fp")
 
 
 def to_limb_major(x: jnp.ndarray) -> jnp.ndarray:
-    """(..., STORE) -> (STORE, ...) for kernel consumption."""
-    return jnp.moveaxis(x, -1, 0)
+    """(N, STORE) -> (STORE, 8, N/8) stacked kernel layout."""
+    n = x.shape[0]
+    assert n % 8 == 0
+    return jnp.moveaxis(x, -1, 0).reshape(STORE, 8, n // 8)
 
 
 def from_limb_major(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.moveaxis(x, 0, -1)
+    """(STORE, 8, N/8) -> (N, STORE)."""
+    n = x.shape[1] * x.shape[2]
+    return jnp.moveaxis(x.reshape(STORE, n), 0, -1)
