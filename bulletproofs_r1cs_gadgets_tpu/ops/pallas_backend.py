@@ -23,7 +23,7 @@ from ..utils.constants import L
 from .curve import points_to_device, points_from_device
 from . import pallas_curve as pcurve
 
-MIN_DEVICE_N = 1024
+MIN_DEVICE_N = 64
 
 
 _words_matrix = pcurve.words_matrix
