@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from enum import IntEnum
 from .scalar import Scalar
+from ..utils.constants import L as _L
 
 
 class VarKind(IntEnum):
@@ -26,11 +27,13 @@ class VarKind(IntEnum):
 
 
 class Variable:
-    __slots__ = ("kind", "index")
+    __slots__ = ("kind", "index", "_hash")
 
     def __init__(self, kind: VarKind, index: int = 0):
         self.kind = kind
         self.index = index
+        # precomputed: Variable hashing is hot in LC simplification
+        self._hash = (int(kind) << 32) | index
 
     @staticmethod
     def One() -> "Variable":
@@ -60,7 +63,7 @@ class Variable:
         )
 
     def __hash__(self) -> int:
-        return hash((int(self.kind), self.index))
+        return self._hash
 
     def __repr__(self) -> str:
         if self.kind == VarKind.ONE:
@@ -153,14 +156,21 @@ class LinearCombination:
 
     def simplify(self) -> "LinearCombination":
         """Merge duplicate variables (the gadget-level ``simplify_lc``,
-        ``/root/reference/src/gadget_poseidon.rs:99-112``); drops zero terms."""
-        acc: dict[Variable, Scalar] = {}
+        ``/root/reference/src/gadget_poseidon.rs:99-112``); drops zero terms.
+
+        Accumulates raw ints (one reduction per variable at the end) - this
+        runs once per partial Poseidon round and dominates synthesis time.
+        """
+        acc: dict[Variable, int] = {}
+        get = acc.get
         for v, c in self.terms:
-            if v in acc:
-                acc[v] = acc[v] + c
-            else:
-                acc[v] = c
-        return LinearCombination([(v, c) for v, c in acc.items() if c.v != 0])
+            acc[v] = get(v, 0) + c.v
+        out = []
+        for v, c in acc.items():
+            cv = c % _L
+            if cv:
+                out.append((v, Scalar(cv)))
+        return LinearCombination(out)
 
     def __repr__(self) -> str:
         return " + ".join(f"{c.v}*{v}" for v, c in self.terms) or "0"

@@ -183,25 +183,35 @@ class Prover:
         return Scalar.from_bytes_mod_order_wide(self.rng.bytes(64))
 
     def _flattened_constraints(self, z: Scalar, n: int):
-        wL = [Scalar.zero() for _ in range(n)]
-        wR = [Scalar.zero() for _ in range(n)]
-        wO = [Scalar.zero() for _ in range(n)]
-        wV = [Scalar.zero() for _ in range(len(self.v))]
-        exp_z = z
+        # int accumulation with a single final reduction per wire (this loop
+        # touches every constraint term; Scalar-object churn dominates it)
+        from ..utils.constants import L as _L
+
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * len(self.v)
+        exp_z = z.v
+        zv = z.v
         for lc in self.constraints:
             for var, coeff in lc.terms:
                 k = var.kind
                 if k == VarKind.MULT_LEFT:
-                    wL[var.index] = wL[var.index] + exp_z * coeff
+                    wL[var.index] += exp_z * coeff.v
                 elif k == VarKind.MULT_RIGHT:
-                    wR[var.index] = wR[var.index] + exp_z * coeff
+                    wR[var.index] += exp_z * coeff.v
                 elif k == VarKind.MULT_OUT:
-                    wO[var.index] = wO[var.index] + exp_z * coeff
+                    wO[var.index] += exp_z * coeff.v
                 elif k == VarKind.COMMITTED:
-                    wV[var.index] = wV[var.index] - exp_z * coeff
+                    wV[var.index] -= exp_z * coeff.v
                 # ONE terms are public; prover does not need wc
-            exp_z = exp_z * z
-        return wL, wR, wO, wV
+            exp_z = exp_z * zv % _L
+        return (
+            [Scalar(x) for x in wL],
+            [Scalar(x) for x in wR],
+            [Scalar(x) for x in wO],
+            [Scalar(x) for x in wV],
+        )
 
     def _create_randomized_constraints(self) -> None:
         if not self.deferred_constraints:
@@ -304,32 +314,39 @@ class Prover:
         s_L = s_L1 + s_L2
         s_R = s_R1 + s_R2
 
-        l1 = [Scalar.zero()] * padded_n
-        l2 = [Scalar.zero()] * padded_n
-        l3 = [Scalar.zero()] * padded_n
-        r0 = [Scalar.zero()] * padded_n
-        r1 = [Scalar.zero()] * padded_n
-        r3 = [Scalar.zero()] * padded_n
-        exp_y = Scalar.one()
+        # int-domain vector-poly construction (hot O(padded_n) loops)
+        from ..utils.constants import L as _L
+
+        l1 = [0] * padded_n
+        l2 = [0] * padded_n
+        l3 = [0] * padded_n
+        r0 = [0] * padded_n
+        r1 = [0] * padded_n
+        r3 = [0] * padded_n
+        exp_y = 1
+        yv = y.v
         for i in range(n):
-            l1[i] = self.a_L[i] + exp_y_inv[i] * wR[i]
-            l2[i] = self.a_O[i]
-            l3[i] = s_L[i]
-            r0[i] = wO[i] - exp_y
-            r1[i] = exp_y * self.a_R[i] + wL[i]
-            r3[i] = exp_y * s_R[i]
-            exp_y = exp_y * y
+            l1[i] = (self.a_L[i].v + exp_y_inv[i].v * wR[i].v) % _L
+            l2[i] = self.a_O[i].v
+            l3[i] = s_L[i].v
+            r0[i] = (wO[i].v - exp_y) % _L
+            r1[i] = (exp_y * self.a_R[i].v + wL[i].v) % _L
+            r3[i] = exp_y * s_R[i].v % _L
+            exp_y = exp_y * yv % _L
         for i in range(n, padded_n):
-            r0[i] = -exp_y
-            exp_y = exp_y * y
+            r0[i] = _L - exp_y
+            exp_y = exp_y * yv % _L
+
+        def ip(u, w):
+            return sum(map(lambda a, b: a * b, u, w)) % _L
 
         # t(x) = <l(x), r(x)>, degree 6, t0 == 0 (l0 == 0)
-        t1 = Scalar(inner_product(l1, r0).v)
-        t2 = inner_product(l1, r1) + inner_product(l2, r0)
-        t3 = inner_product(l2, r1) + inner_product(l3, r0)
-        t4 = inner_product(l1, r3) + inner_product(l3, r1)
-        t5 = inner_product(l2, r3)
-        t6 = inner_product(l3, r3)
+        t1 = Scalar(ip(l1, r0))
+        t2 = Scalar(ip(l1, r1) + ip(l2, r0))
+        t3 = Scalar(ip(l2, r1) + ip(l3, r0))
+        t4 = Scalar(ip(l1, r3) + ip(l3, r1))
+        t5 = Scalar(ip(l2, r3))
+        t6 = Scalar(ip(l3, r3))
 
         t_1_blinding = self._random_scalar()
         t_3_blinding = self._random_scalar()
@@ -368,9 +385,16 @@ class Prover:
             + t_5_blinding * xx * xx * x
             + t_6_blinding * xx * xx * xx
         )
-        l_vec = [l1[i] * x + l2[i] * xx + l3[i] * xx * x for i in range(padded_n)]
+        xv = x.v
+        xxv = xv * xv % _L
+        xxxv = xxv * xv % _L
+        l_vec = [
+            Scalar((l1[i] * xv + l2[i] * xxv + l3[i] * xxxv) % _L)
+            for i in range(padded_n)
+        ]
         r_vec = [
-            r0[i] + r1[i] * x + r3[i] * xx * x for i in range(padded_n)
+            Scalar((r0[i] + r1[i] * xv + r3[i] * xxxv) % _L)
+            for i in range(padded_n)
         ]
 
         i_blinding = i_blinding1 + u * i_blinding2

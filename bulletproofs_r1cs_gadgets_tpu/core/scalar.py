@@ -30,7 +30,7 @@ class Scalar:
 
     def __init__(self, value: int):
         # canonical representative; use from_bits for non-canonical carriers
-        self.v = value % L
+        self.v = value % L if (value >= L or value < 0) else value
 
     # --- constructors ------------------------------------------------------
     @staticmethod

@@ -117,27 +117,36 @@ class Verifier:
 
     # -------------------------------------------------------------- internals
     def _flattened_constraints(self, z: Scalar, n: int):
-        wL = [Scalar.zero() for _ in range(n)]
-        wR = [Scalar.zero() for _ in range(n)]
-        wO = [Scalar.zero() for _ in range(n)]
-        wV = [Scalar.zero() for _ in range(len(self.V))]
-        wc = Scalar.zero()
-        exp_z = z
+        from ..utils.constants import L as _L
+
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * len(self.V)
+        wc = 0
+        exp_z = z.v
+        zv = z.v
         for lc in self.constraints:
             for var, coeff in lc.terms:
                 k = var.kind
                 if k == VarKind.MULT_LEFT:
-                    wL[var.index] = wL[var.index] + exp_z * coeff
+                    wL[var.index] += exp_z * coeff.v
                 elif k == VarKind.MULT_RIGHT:
-                    wR[var.index] = wR[var.index] + exp_z * coeff
+                    wR[var.index] += exp_z * coeff.v
                 elif k == VarKind.MULT_OUT:
-                    wO[var.index] = wO[var.index] + exp_z * coeff
+                    wO[var.index] += exp_z * coeff.v
                 elif k == VarKind.COMMITTED:
-                    wV[var.index] = wV[var.index] - exp_z * coeff
+                    wV[var.index] -= exp_z * coeff.v
                 else:  # ONE
-                    wc = wc - exp_z * coeff
-            exp_z = exp_z * z
-        return wL, wR, wO, wV, wc
+                    wc -= exp_z * coeff.v
+            exp_z = exp_z * zv % _L
+        return (
+            [Scalar(v) for v in wL],
+            [Scalar(v) for v in wR],
+            [Scalar(v) for v in wO],
+            [Scalar(v) for v in wV],
+            Scalar(wc),
+        )
 
     def _create_randomized_constraints(self) -> None:
         if not self.deferred_constraints:
@@ -213,10 +222,12 @@ class Verifier:
         y_inv = y.invert()
         exp_y_inv = exp_iter(y_inv, padded_n)
 
+        from ..utils.constants import L as _L
+
         # delta = <y^-n o wR, wL>
-        delta = Scalar.zero()
-        for i in range(n):
-            delta = delta + exp_y_inv[i] * wR[i] * wL[i]
+        delta = Scalar(
+            sum(exp_y_inv[i].v * wR[i].v % _L * wL[i].v for i in range(n)) % _L
+        )
 
         # random combining factor for the two checks
         r = Scalar.from_bytes_mod_order_wide(secrets.token_bytes(64))
@@ -224,21 +235,33 @@ class Verifier:
         xx = x * x
         u_g = [Scalar.one()] * n1 + [u] * (n2 + pad)
 
+        xv = x.v
+        av = a.v
+        bv = b.v
         g_scalars = [
-            u_g[i]
-            * ((x * exp_y_inv[i] * (wR[i] if i < n else Scalar.zero())) - a * s[i])
+            Scalar(
+                u_g[i].v
+                * (
+                    (xv * exp_y_inv[i].v % _L) * (wR[i].v if i < n else 0)
+                    - av * s[i].v
+                )
+                % _L
+            )
             for i in range(padded_n)
         ]
         h_scalars = [
-            u_g[i]
-            * (
-                exp_y_inv[i]
+            Scalar(
+                u_g[i].v
                 * (
-                    x * (wL[i] if i < n else Scalar.zero())
-                    + (wO[i] if i < n else Scalar.zero())
-                    - b * s_inv[i]
+                    exp_y_inv[i].v
+                    * (
+                        xv * (wL[i].v if i < n else 0)
+                        + (wO[i].v if i < n else 0)
+                        - bv * s_inv[i].v
+                    )
+                    - 1
                 )
-                - Scalar.one()
+                % _L
             )
             for i in range(padded_n)
         ]
