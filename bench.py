@@ -56,21 +56,27 @@ def stage1_msm():
     pts = gens.G(n)
     rows = pc.points_to_rows(points_to_device(pts))
     rnd = random.Random(1)
-    scalars = [rnd.randrange(L) for _ in range(n)]
-    words = pc.words_to_rows(pc.words_matrix(scalars))
+    # distinct scalar sets per rep (identical repeat calls can be elided
+    # by the runtime and would overstate throughput)
+    reps = 3
+    word_sets = [
+        pc.words_to_rows(
+            pc.words_matrix([rnd.randrange(L) for _ in range(n)])
+        )
+        for _ in range(reps + 1)
+    ]
 
-    def run():
+    def run(words):
         totals = pc.msm_block_totals(rows, words)
         totals.block_until_ready()
         return totals
 
     t0 = time.time()
-    run()
+    run(word_sets[-1])
     log(f"[stage1] first call (compile) {time.time()-t0:.1f}s")
-    reps = 3
     t0 = time.time()
-    for _ in range(reps):
-        run()
+    for i in range(reps):
+        run(word_sets[i])
     dt = (time.time() - t0) / reps
     # bit-serial double-and-add work: 253 * (dbl + add) per point
     point_ops = n * 506

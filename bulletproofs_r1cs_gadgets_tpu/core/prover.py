@@ -226,6 +226,17 @@ class Prover:
 
     # ------------------------------------------------------------------ prove
     def prove(self, bp_gens: BulletproofGens, backend=None) -> R1CSProof:
+        import os as _os
+        import time as _time
+
+        _timing = _os.environ.get("BPTPU_TIMING", "") not in ("", "0")
+        _marks = []
+
+        def _mark(name):
+            if _timing:
+                _marks.append((name, _time.time()))
+
+        _mark("start")
         t = self.transcript
         t.append_u64(b"m", len(self.v))
 
@@ -259,6 +270,7 @@ class Prover:
             S1 = multiscalar_mul(
                 [s_blinding1] + s_L1 + s_R1, [B_b] + G1 + H1
             ).compress()
+        _mark("phase1_commitments")
         t.append_point(b"A_I1", A_I1)
         t.append_point(b"A_O1", A_O1)
         t.append_point(b"S1", S1)
@@ -306,7 +318,9 @@ class Prover:
         y = t.challenge_scalar(b"y")
         z = t.challenge_scalar(b"z")
 
+        _mark("phase2")
         wL, wR, wO, wV = self._flattened_constraints(z, n)
+        _mark("flatten")
 
         # --- l(x), r(x) vector polynomials over padded_n entries
         y_inv = y.invert()
@@ -402,6 +416,7 @@ class Prover:
         s_blinding = s_blinding1 + u * s_blinding2
         e_blinding = x * (i_blinding + x * (o_blinding + x * s_blinding))
 
+        _mark("polys")
         t.append_scalar(b"t_x", t_x)
         t.append_scalar(b"t_x_blinding", t_x_blinding)
         t.append_scalar(b"e_blinding", e_blinding)
@@ -424,6 +439,16 @@ class Prover:
             backend=backend,
         )
 
+        _mark("ipp")
+        if _timing:
+            import sys as _sys
+
+            parts = ", ".join(
+                f"{name}={_marks[i+1][1]-_marks[i][1]:.2f}s"
+                for i, (name, _) in enumerate(_marks[1:], 0)
+                for name in [_marks[i + 1][0]]
+            )
+            print(f"[timing:prove] {parts}", file=_sys.stderr, flush=True)
         return R1CSProof(
             A_I1, A_O1, S1, A_I2, A_O2, S2,
             T_1, T_3, T_4, T_5, T_6,

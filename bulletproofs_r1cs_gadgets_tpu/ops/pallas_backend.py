@@ -13,8 +13,38 @@ CPU-testable oracle).
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import jax.numpy as jnp
+
+_TIMING = os.environ.get("BPTPU_TIMING", "") not in ("", "0")
+
+
+class _Timer:
+    """Accumulates per-phase wall time when BPTPU_TIMING=1."""
+
+    def __init__(self):
+        self.acc: dict[str, float] = {}
+
+    def add(self, name: str, dt: float):
+        self.acc[name] = self.acc.get(name, 0.0) + dt
+
+    def dump(self, label: str):
+        if self.acc:
+            import sys
+
+            total = sum(self.acc.values())
+            parts = ", ".join(
+                f"{k}={v:.2f}s" for k, v in sorted(self.acc.items())
+            )
+            print(f"[timing:{label}] total={total:.2f}s {parts}",
+                  file=sys.stderr, flush=True)
+        self.acc = {}
+
+
+TIMER = _Timer()
 
 from ..core.scalar import Scalar, inner_product
 from ..core.ristretto import RistrettoPoint, multiscalar_mul
@@ -57,11 +87,22 @@ class PallasBackend:
     def _msm_to_point(self, scalars, rows, n) -> RistrettoPoint:
         """One-dispatch MSM (in-kernel block reduction) + tiny host combine
         of the per-block totals."""
+        t0 = time.time() if _TIMING else 0
         target = -(-n // pcurve.BLOCK_PTS) * pcurve.BLOCK_PTS
         rows = _pad_pts(rows, n, target)
         words = pcurve.words_matrix(scalars + [0] * (target - len(scalars)))
-        totals = pcurve.msm_block_totals(rows, pcurve.words_to_rows(words))
+        wr = pcurve.words_to_rows(words)
+        if _TIMING:
+            TIMER.add("msm_prep", time.time() - t0)
+            t0 = time.time()
+        totals = pcurve.msm_block_totals(rows, wr)
+        totals.block_until_ready()
+        if _TIMING:
+            TIMER.add("msm_device", time.time() - t0)
+            t0 = time.time()
         pts = points_from_device(totals)
+        if _TIMING:
+            TIMER.add("msm_post", time.time() - t0)
         acc = pts[0]
         for p in pts[1:]:
             acc = acc + p
@@ -84,6 +125,7 @@ class PallasBackend:
                 pcurve.ROWS, pcurve.SUB, target // pcurve.SUB
             )
 
+        t0 = time.time() if _TIMING else 0
         rows = jnp.concatenate([prep(flat_a), prep(flat_b)], axis=2)
         pad = [0] * (target - m)
         words = jnp.concatenate(
@@ -93,8 +135,17 @@ class PallasBackend:
             ],
             axis=2,
         )
+        if _TIMING:
+            TIMER.add("pair_prep", time.time() - t0)
+            t0 = time.time()
         totals = pcurve.msm_block_totals(rows, words)
+        totals.block_until_ready()
+        if _TIMING:
+            TIMER.add("pair_device", time.time() - t0)
+            t0 = time.time()
         pts = points_from_device(totals)
+        if _TIMING:
+            TIMER.add("pair_post", time.time() - t0)
 
         def comb(group):
             acc = group[0]
@@ -188,6 +239,7 @@ class PallasBackend:
                 _SkipDomainSep(transcript), Q, G_factors, H_factors, G, H, a, b
             )
 
+        t0 = time.time() if _TIMING else 0
         G_flat = pcurve.points_to_rows(
             _padded_points_dev(G)
         ).reshape(pcurve.ROWS, -1)[:, :n]
@@ -197,6 +249,8 @@ class PallasBackend:
         Q_flat = pcurve.points_to_rows(
             _padded_points_dev([Q] * 8)
         ).reshape(pcurve.ROWS, -1)[:, :1]
+        if _TIMING:
+            TIMER.add("ipp_upload", time.time() - t0)
         a = list(a)
         b = list(b)
         L_vec: list[bytes] = []
@@ -204,6 +258,7 @@ class PallasBackend:
         first = True
         while n != 1:
             n //= 2
+            t0 = time.time() if _TIMING else 0
             a_L, a_R = a[:n], a[n:]
             b_L, b_R = b[:n], b[n:]
             c_L = inner_product(a_L, b_R)
@@ -229,6 +284,8 @@ class PallasBackend:
                 [G_flat[:, :n], H_flat[:, n:], Q_flat], axis=1
             )
             m = 2 * n + 1
+            if _TIMING:
+                TIMER.add("ipp_host_scalars", time.time() - t0)
             L_pt, R_pt = self._msm_pair(sc_L, pts_L, sc_R, pts_R, m)
             L_c = L_pt.compress()
             R_c = R_pt.compress()
@@ -238,8 +295,11 @@ class PallasBackend:
             transcript.append_point(b"R", R_c)
             u = transcript.challenge_scalar(b"u")
             u_inv = u.invert()
+            t0 = time.time() if _TIMING else 0
             a = [a_L[i] * u + u_inv * a_R[i] for i in range(n)]
             b = [b_L[i] * u_inv + u * b_R[i] for i in range(n)]
+            if _TIMING:
+                TIMER.add("ipp_host_folds", time.time() - t0)
             if first:
                 gl = [(u_inv.v * G_factors[i].v) % L for i in range(n)]
                 gr = [(u.v * G_factors[n + i].v) % L for i in range(n)]
@@ -251,9 +311,14 @@ class PallasBackend:
                 gr = [u.v] * n
                 hl = [u.v] * n
                 hr = [u_inv.v] * n
+            t0 = time.time() if _TIMING else 0
             G_flat, H_flat = self._fold_pair(
                 G_flat, H_flat, n, gl, gr, hl, hr
             )
+            G_flat.block_until_ready()
+            if _TIMING:
+                TIMER.add("fold", time.time() - t0)
+        TIMER.dump("ipp")
         return InnerProductProof(L_vec, R_vec, a[0], b[0])
 
     def _fold_pair(self, g_flat, h_flat, n, gl, gr, hl, hr):
