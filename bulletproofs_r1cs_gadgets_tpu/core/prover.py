@@ -427,6 +427,8 @@ class Prover:
         G_factors = [Scalar.one()] * n1 + [u] * (n2 + pad)
         H_factors = [exp_y_inv[i] * G_factors[i] for i in range(padded_n)]
 
+        if backend is not None and hasattr(backend, "stage_ipp_gens"):
+            backend.stage_ipp_gens(gens, padded_n)
         ipp = InnerProductProof.create(
             t,
             Q,

@@ -43,12 +43,32 @@ _SQRT_AD_MINUS_ONE = jnp.asarray(int_to_limbs(SQRT_AD_MINUS_ONE))
 
 
 # ------------------------------------------------------------- host codecs
+def _ints_to_limbs_vec(vals: list[int]) -> np.ndarray:
+    """Vectorised int -> 23x12-bit limb conversion: bytes -> uint16 words ->
+    per-limb shifts (pure numpy; the per-element Python loop was the single
+    largest host cost in proving before this)."""
+    buf = b"".join(v.to_bytes(36, "little") for v in vals)  # 276 bits + slack
+    words = np.frombuffer(buf, np.uint8).reshape(len(vals), 36)
+    w = words.astype(np.int32)
+    out = np.empty((len(vals), STORE), dtype=np.int32)
+    for i in range(STORE):
+        bit = 12 * i
+        byte, r = bit // 8, bit % 8
+        val = (
+            w[:, byte]
+            | (w[:, byte + 1] << 8)
+            | (w[:, byte + 2] << 16)
+        )
+        out[:, i] = (val >> r) & 0xFFF
+    return out
+
+
 def points_to_device(points: list[RistrettoPoint]) -> jnp.ndarray:
-    out = np.zeros((len(points), 4, STORE), dtype=np.int32)
-    for i, pt in enumerate(points):
-        for j, c in enumerate((pt.X, pt.Y, pt.Z, pt.T)):
-            out[i, j] = int_to_limbs(c)
-    return jnp.asarray(out)
+    coords = []
+    for pt in points:
+        coords.extend((pt.X, pt.Y, pt.Z, pt.T))
+    limbs = _ints_to_limbs_vec(coords)
+    return jnp.asarray(limbs.reshape(len(points), 4, STORE))
 
 
 def points_from_device(arr) -> list[RistrettoPoint]:

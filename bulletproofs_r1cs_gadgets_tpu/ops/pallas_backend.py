@@ -228,6 +228,18 @@ class PallasBackend:
         return A_I.compress(), A_O.compress(), S.compress()
 
     # ------------------------------------------------------------------ IPP
+    def stage_ipp_gens(self, gens_share, padded_n: int) -> None:
+        """Pre-stage the generator device arrays for the next ipp_create
+        (reuses the per-gens upload cache instead of re-converting the host
+        point lists - the conversion used to dominate warm proving)."""
+        G_rows, _ = self._gens_rows(gens_share, padded_n, "G")
+        H_rows, _ = self._gens_rows(gens_share, padded_n, "H")
+        self._staged_ipp = (
+            padded_n,
+            G_rows.reshape(pcurve.ROWS, -1)[:, :padded_n],
+            H_rows.reshape(pcurve.ROWS, -1)[:, :padded_n],
+        )
+
     def ipp_create(
         self, transcript, Q, G_factors, H_factors, G, H, a, b
     ) -> InnerProductProof:
@@ -240,12 +252,17 @@ class PallasBackend:
             )
 
         t0 = time.time() if _TIMING else 0
-        G_flat = pcurve.points_to_rows(
-            _padded_points_dev(G)
-        ).reshape(pcurve.ROWS, -1)[:, :n]
-        H_flat = pcurve.points_to_rows(
-            _padded_points_dev(H)
-        ).reshape(pcurve.ROWS, -1)[:, :n]
+        staged = getattr(self, "_staged_ipp", None)
+        if staged is not None and staged[0] == n:
+            _, G_flat, H_flat = staged
+            self._staged_ipp = None
+        else:
+            G_flat = pcurve.points_to_rows(
+                _padded_points_dev(G)
+            ).reshape(pcurve.ROWS, -1)[:, :n]
+            H_flat = pcurve.points_to_rows(
+                _padded_points_dev(H)
+            ).reshape(pcurve.ROWS, -1)[:, :n]
         Q_flat = pcurve.points_to_rows(
             _padded_points_dev([Q] * 8)
         ).reshape(pcurve.ROWS, -1)[:, :1]
