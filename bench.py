@@ -68,7 +68,11 @@ def stage1_msm():
 
     def run(words):
         totals = pc.msm_block_totals(rows, words)
-        totals.block_until_ready()
+        # force a real device->host sync: block_until_ready has been
+        # observed returning early on this remote backend
+        import numpy as _np
+
+        _np.asarray(totals)
         return totals
 
     t0 = time.time()
@@ -134,46 +138,48 @@ def stage3_vsmt(depth=None):
             constrain_index_bits=False,  # exact reference circuit
         )
 
-    def prove_once():
-        t_syn = time.time()
-        prover = Prover(pc_gens, Transcript(b"VSMT"))
-        com_leaf, var_leaf = prover.commit(k, Scalar.random())
-        leaf_alloc = AllocatedScalar(var_leaf, k)
-        li_comms, li_allocs = [], []
-        for b in leaf_index_bit_scalars(k, depth):
-            c, v = prover.commit(b, Scalar.random())
-            li_comms.append(c)
-            li_allocs.append(AllocatedScalar(v, b))
-        pf_comms, pf_allocs = [], []
-        for p in reversed(merkle_proof):
-            c, v = prover.commit(p, Scalar.random())
-            pf_comms.append(c)
-            pf_allocs.append(AllocatedScalar(v, p))
-        statics = allocate_statics_for_prover(prover, 4)
-        synthesize(prover, leaf_alloc, li_allocs, pf_allocs, statics, tree.root)
-        log(
-            f"[stage3] synthesis {time.time()-t_syn:.1f}s, "
-            f"{prover.num_multipliers()} multipliers"
-        )
-        t_prove = time.time()
-        proof = prover.prove(bp_gens, backend=backend)
-        dt = time.time() - t_prove
-        log(f"[stage3] prove {dt:.1f}s")
-        return proof, (com_leaf, li_comms, pf_comms), dt
+    t_syn = time.time()
+    prover = Prover(pc_gens, Transcript(b"VSMT"))
+    com_leaf, var_leaf = prover.commit(k, Scalar.random())
+    leaf_alloc = AllocatedScalar(var_leaf, k)
+    li_comms, li_allocs = [], []
+    for b in leaf_index_bit_scalars(k, depth):
+        c, v = prover.commit(b, Scalar.random())
+        li_comms.append(c)
+        li_allocs.append(AllocatedScalar(v, b))
+    pf_comms, pf_allocs = [], []
+    for p in reversed(merkle_proof):
+        c, v = prover.commit(p, Scalar.random())
+        pf_comms.append(c)
+        pf_allocs.append(AllocatedScalar(v, p))
+    statics = allocate_statics_for_prover(prover, 4)
+    synthesize(prover, leaf_alloc, li_allocs, pf_allocs, statics, tree.root)
+    log(
+        f"[stage3] synthesis {time.time()-t_syn:.1f}s, "
+        f"{prover.num_multipliers()} multipliers"
+    )
+    snap = prover.snapshot()
 
-    proof, comms, _warm = prove_once()  # includes kernel compiles
+    t0 = time.time()
+    proof = prover.prove(bp_gens, backend=backend)  # cold: kernel compiles
+    log(f"[stage3] cold prove {time.time()-t0:.1f}s")
 
     t0 = time.time()
     verifier = Verifier(Transcript(b"VSMT"))
-    leaf_alloc = AllocatedScalar(verifier.commit(comms[0]))
-    li = [AllocatedScalar(verifier.commit(c)) for c in comms[1]]
-    pf = [AllocatedScalar(verifier.commit(c)) for c in comms[2]]
+    leaf_alloc = AllocatedScalar(verifier.commit(com_leaf))
+    li = [AllocatedScalar(verifier.commit(c)) for c in li_comms]
+    pf = [AllocatedScalar(verifier.commit(c)) for c in pf_comms]
     vstatics = allocate_statics_for_verifier(verifier, 4, pc_gens)
     synthesize(verifier, leaf_alloc, li, pf, vstatics, tree.root)
     verifier.verify(proof, pc_gens, bp_gens, backend=backend)
     log(f"[stage3] VERIFIED in {time.time()-t0:.1f}s")
 
-    _, _, dt = prove_once()  # warm timing
+    # warm timing: restore the synthesized tape, prove again
+    prover.restore(snap)
+    t0 = time.time()
+    prover.prove(bp_gens, backend=backend)
+    dt = time.time() - t0
+    log(f"[stage3] warm prove {dt:.1f}s")
     return dt
 
 

@@ -178,6 +178,36 @@ class Prover:
             phase1_multipliers=self.num_phase1_multipliers or len(self.a_L),
         )
 
+    # ------------------------------------------------------- snapshot/restore
+    def snapshot(self):
+        """Capture the synthesized state (tape + transcript) so the same
+        circuit can be proven repeatedly without re-synthesis - prove()
+        consumes transcript state but never mutates the tape."""
+        st = self.transcript.strobe
+        return (
+            bytes(st.state),
+            st.pos,
+            st.pos_begin,
+            st.cur_flags,
+            list(self.v),
+            list(self.v_blinding),
+            list(self.a_L),
+            list(self.a_R),
+            list(self.a_O),
+            list(self.constraints),
+            self.pending_multiplier,
+        )
+
+    def restore(self, snap) -> None:
+        st = self.transcript.strobe
+        (
+            state, st.pos, st.pos_begin, st.cur_flags,
+            self.v, self.v_blinding, self.a_L, self.a_R, self.a_O,
+            self.constraints, self.pending_multiplier,
+        ) = snap
+        st.state = bytearray(state)
+        self.deferred_constraints = []
+
     # ------------------------------------------------------------- challenges
     def _random_scalar(self) -> Scalar:
         return Scalar.from_bytes_mod_order_wide(self.rng.bytes(64))

@@ -205,3 +205,23 @@ def test_circuit_stats():
     assert st.padded_multipliers == 4
     assert st.commitments == 1
     assert st.constraints == 6  # 2 wire constraints per multiply
+
+
+def test_prover_snapshot_restore():
+    # snapshot after synthesis; two proofs from one tape, both verify
+    prover = Prover(PC, Transcript(b"Snap"))
+    com, var = prover.commit(Scalar(6), Scalar.random())
+    _, _, o = prover.multiply(var, var)
+    prover.constrain(o - Scalar(36))
+    snap = prover.snapshot()
+    p1 = prover.prove(BP)
+    prover.restore(snap)
+    p2 = prover.prove(BP)
+    for proof in (p1, p2):
+        verifier = Verifier(Transcript(b"Snap"))
+        v = verifier.commit(com)
+        _, _, o = verifier.multiply(v, v)
+        verifier.constrain(o - Scalar(36))
+        verifier.verify(proof, PC, BP)
+    # the two proofs use fresh blinding randomness
+    assert p1.to_bytes() != p2.to_bytes()
