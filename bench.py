@@ -174,12 +174,15 @@ def stage3_vsmt(depth=None):
     verifier.verify(proof, pc_gens, bp_gens, backend=backend)
     log(f"[stage3] VERIFIED in {time.time()-t0:.1f}s")
 
-    # warm timing: restore the synthesized tape, prove again
-    prover.restore(snap)
-    t0 = time.time()
-    prover.prove(bp_gens, backend=backend)
-    dt = time.time() - t0
-    log(f"[stage3] warm prove {dt:.1f}s")
+    # warm timing: restore the synthesized tape and prove repeatedly; report
+    # the steady state (the first warm iteration still carries stragglers)
+    dt = None
+    for i in range(2):
+        prover.restore(snap)
+        t0 = time.time()
+        prover.prove(bp_gens, backend=backend)
+        dt = time.time() - t0
+        log(f"[stage3] warm prove {i} {dt:.1f}s")
     return dt
 
 
