@@ -86,8 +86,10 @@ def _chain_label(prefix: bytes, party: int) -> bytes:
 
 def _derive_chain(label: bytes, n: int) -> list[RistrettoPoint]:
     """Derive n chain points, preferring the batched device path + disk cache."""
+    # v2: cache invalidated when SQRT_AD_MINUS_ONE switched to dalek's odd
+    # root (every Elligator-derived point changed; see utils/constants.py)
     key = f"{label.hex()}_{n}"
-    cache_file = os.path.join(_CACHE_DIR, f"gens_{key}.npy")
+    cache_file = os.path.join(_CACHE_DIR, f"gens_v2_{key}.npy")
     if os.path.exists(cache_file):
         arr = np.load(cache_file, allow_pickle=False)
         return _points_from_array(arr)

@@ -58,7 +58,12 @@ SQRT_M1 = _sqrt(P - 1)
 INVSQRT_A_MINUS_D = _abs_fe(pow(_sqrt((-1 - D) % P), P - 2, P))
 ONE_MINUS_D_SQ = (1 - D * D) % P  # 1 - d^2
 D_MINUS_ONE_SQ = ((D - 1) * (D - 1)) % P  # (d - 1)^2
-SQRT_AD_MINUS_ONE = _sqrt((-(D + 1)) % P)  # sqrt(a*d - 1), a = -1
+# sqrt(a*d - 1), a = -1.  curve25519-dalek's SQRT_AD_MINUS_ONE constant is
+# the NEGATIVE (odd-encoding) root -- verified against libsodium's
+# crypto_core_ristretto255_from_hash (tests/golden/test_golden_ristretto.py);
+# with the even root every Elligator output is the negation of dalek's and
+# all derived generators diverge.
+SQRT_AD_MINUS_ONE = P - _sqrt((-(D + 1)) % P)
 
 # Ed25519 basepoint: y = 4/5, x recovered with even (non-negative) sign.
 ED25519_BASEPOINT_Y = (4 * pow(5, P - 2, P)) % P
