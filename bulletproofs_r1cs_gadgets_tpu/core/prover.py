@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import secrets
 
+import numpy as np
+
 from .scalar import Scalar, exp_iter, inner_product
 from .linear_combination import Variable, VarKind, LinearCombination, _coerce
 from .ristretto import RistrettoPoint, multiscalar_mul
@@ -39,6 +41,8 @@ from .pedersen import PedersenGens, BulletproofGens
 from .ipp import InnerProductProof
 from .proof import R1CSProof
 from .errors import MissingAssignment, InvalidGeneratorsLength
+from .tape import TapeArrays
+from . import scvec
 from ..utils.stats import CircuitStats
 
 _IDENTITY_BYTES = b"\x00" * 32
@@ -68,6 +72,9 @@ class Prover:
         self.pending_multiplier: int | None = None
         self.deferred_constraints = []  # callbacks for randomized phase
         self.num_phase1_multipliers = 0
+        # memoized array lowerings (keyed by list lengths; see prove())
+        self._tape_memo = None
+        self._wit_memo = None
 
     # ------------------------------------------------------------ commitments
     def commit(self, v: Scalar, v_blinding: Scalar):
@@ -178,12 +185,37 @@ class Prover:
             phase1_multipliers=self.num_phase1_multipliers or len(self.a_L),
         )
 
+    # ----------------------------------------------------- array lowerings
+    def _tape_arrays(self) -> TapeArrays:
+        """Constraint tape as flat arrays, memoized per constraint count
+        (synthesis only appends, so the length keys the cache)."""
+        m = len(self.constraints)
+        if self._tape_memo is None or self._tape_memo[0] != m:
+            self._tape_memo = (m, TapeArrays(self.constraints))
+        return self._tape_memo[1]
+
+    def _witness_arrays(self):
+        """(a_L, a_R, a_O) as (n, 4) u64 arrays, memoized per multiplier
+        count."""
+        n = len(self.a_L)
+        if self._wit_memo is None or self._wit_memo[0] != n:
+            self._wit_memo = (
+                n,
+                scvec.from_scalars(self.a_L),
+                scvec.from_scalars(self.a_R),
+                scvec.from_scalars(self.a_O),
+            )
+        return self._wit_memo[1], self._wit_memo[2], self._wit_memo[3]
+
     # ------------------------------------------------------- snapshot/restore
     def snapshot(self):
         """Capture the synthesized state (tape + transcript) so the same
         circuit can be proven repeatedly without re-synthesis - prove()
         consumes transcript state but never mutates the tape."""
         st = self.transcript.strobe
+        # force the lowerings so warm re-proves get them from the snapshot
+        self._tape_arrays()
+        self._witness_arrays()
         return (
             bytes(st.state),
             st.pos,
@@ -196,6 +228,8 @@ class Prover:
             list(self.a_O),
             list(self.constraints),
             self.pending_multiplier,
+            self._tape_memo,
+            self._wit_memo,
         )
 
     def restore(self, snap) -> None:
@@ -204,6 +238,7 @@ class Prover:
             state, st.pos, st.pos_begin, st.cur_flags,
             self.v, self.v_blinding, self.a_L, self.a_R, self.a_O,
             self.constraints, self.pending_multiplier,
+            self._tape_memo, self._wit_memo,
         ) = snap
         st.state = bytearray(state)
         self.deferred_constraints = []
@@ -211,37 +246,6 @@ class Prover:
     # ------------------------------------------------------------- challenges
     def _random_scalar(self) -> Scalar:
         return Scalar.from_bytes_mod_order_wide(self.rng.bytes(64))
-
-    def _flattened_constraints(self, z: Scalar, n: int):
-        # int accumulation with a single final reduction per wire (this loop
-        # touches every constraint term; Scalar-object churn dominates it)
-        from ..utils.constants import L as _L
-
-        wL = [0] * n
-        wR = [0] * n
-        wO = [0] * n
-        wV = [0] * len(self.v)
-        exp_z = z.v
-        zv = z.v
-        for lc in self.constraints:
-            for var, coeff in lc.terms:
-                k = var.kind
-                if k == VarKind.MULT_LEFT:
-                    wL[var.index] += exp_z * coeff.v
-                elif k == VarKind.MULT_RIGHT:
-                    wR[var.index] += exp_z * coeff.v
-                elif k == VarKind.MULT_OUT:
-                    wO[var.index] += exp_z * coeff.v
-                elif k == VarKind.COMMITTED:
-                    wV[var.index] -= exp_z * coeff.v
-                # ONE terms are public; prover does not need wc
-            exp_z = exp_z * zv % _L
-        return (
-            [Scalar(x) for x in wL],
-            [Scalar(x) for x in wR],
-            [Scalar(x) for x in wO],
-            [Scalar(x) for x in wV],
-        )
 
     def _create_randomized_constraints(self) -> None:
         if not self.deferred_constraints:
@@ -278,21 +282,23 @@ class Prover:
         i_blinding1 = self._random_scalar()
         o_blinding1 = self._random_scalar()
         s_blinding1 = self._random_scalar()
-        s_L1 = [self._random_scalar() for _ in range(n1)]
-        s_R1 = [self._random_scalar() for _ in range(n1)]
+        aL_arr, aR_arr, aO_arr = self._witness_arrays()
+        sL_arr = scvec.random(n1)
+        sR_arr = scvec.random(n1)
 
         gens = bp_gens.share(0)
         if backend is not None:
-            commit3 = backend.phase_commitments(
-                gens, self.a_L, self.a_R, self.a_O, s_L1, s_R1,
+            A_I1, A_O1, S1 = backend.phase_commitments(
+                gens, aL_arr, aR_arr, aO_arr, sL_arr, sR_arr,
                 i_blinding1, o_blinding1, s_blinding1, B_b, 0,
             )
-            A_I1, A_O1, S1 = commit3
         else:
             G1 = gens.G(n1)
             H1 = gens.H(n1)
             if len(G1) < n1:
                 raise InvalidGeneratorsLength("gens capacity too small")
+            s_L1 = scvec.to_scalars(sL_arr)
+            s_R1 = scvec.to_scalars(sR_arr)
             A_I1 = multiscalar_mul(
                 [i_blinding1] + self.a_L + self.a_R, [B_b] + G1 + H1
             ).compress()
@@ -323,8 +329,10 @@ class Prover:
             i_blinding2 = self._random_scalar()
             o_blinding2 = self._random_scalar()
             s_blinding2 = self._random_scalar()
-            s_L2 = [self._random_scalar() for _ in range(n2)]
-            s_R2 = [self._random_scalar() for _ in range(n2)]
+            sL2_arr = scvec.random(n2)
+            sR2_arr = scvec.random(n2)
+            s_L2 = scvec.to_scalars(sL2_arr)
+            s_R2 = scvec.to_scalars(sR2_arr)
             G2 = gens.G(n)[n1:]
             H2 = gens.H(n)[n1:]
             A_I2 = multiscalar_mul(
@@ -336,10 +344,11 @@ class Prover:
             S2 = multiscalar_mul(
                 [s_blinding2] + s_L2 + s_R2, [B_b] + G2 + H2
             ).compress()
+            aL_arr, aR_arr, aO_arr = self._witness_arrays()
+            sL_arr = np.concatenate([sL_arr, sL2_arr])
+            sR_arr = np.concatenate([sR_arr, sR2_arr])
         else:
             i_blinding2 = o_blinding2 = s_blinding2 = Scalar.zero()
-            s_L2 = []
-            s_R2 = []
             A_I2 = A_O2 = S2 = _IDENTITY_BYTES
         t.append_point(b"A_I2", A_I2)
         t.append_point(b"A_O2", A_O2)
@@ -349,48 +358,32 @@ class Prover:
         z = t.challenge_scalar(b"z")
 
         _mark("phase2")
-        wL, wR, wO, wV = self._flattened_constraints(z, n)
+        wL, wR, wO, wV_arr = self._tape_arrays().flatten(z, n, len(self.v))
         _mark("flatten")
 
-        # --- l(x), r(x) vector polynomials over padded_n entries
+        # --- l(x), r(x) vector polynomials ((n, 4) arrays; the pad region
+        # is all-zero for l and handled analytically for r)
         y_inv = y.invert()
-        exp_y_inv = exp_iter(y_inv, padded_n)
-        s_L = s_L1 + s_L2
-        s_R = s_R1 + s_R2
+        ypow = scvec.powers(y, padded_n)
+        yinv_pow = scvec.powers(y_inv, padded_n)
 
-        # int-domain vector-poly construction (hot O(padded_n) loops)
-        from ..utils.constants import L as _L
+        l1 = scvec.add(aL_arr, scvec.mul(yinv_pow[:n], wR))
+        l2 = aO_arr
+        l3 = sL_arr
+        r0 = scvec.sub(wO, ypow[:n])
+        r1 = scvec.add(scvec.mul(ypow[:n], aR_arr), wL)
+        r3 = scvec.mul(ypow[:n], sR_arr)
+        # pad region: r0 = -y^i for n <= i < padded_n; l's are zero there
+        r0_pad = scvec.sub(scvec.zeros(pad), ypow[n:]) if pad else None
 
-        l1 = [0] * padded_n
-        l2 = [0] * padded_n
-        l3 = [0] * padded_n
-        r0 = [0] * padded_n
-        r1 = [0] * padded_n
-        r3 = [0] * padded_n
-        exp_y = 1
-        yv = y.v
-        for i in range(n):
-            l1[i] = (self.a_L[i].v + exp_y_inv[i].v * wR[i].v) % _L
-            l2[i] = self.a_O[i].v
-            l3[i] = s_L[i].v
-            r0[i] = (wO[i].v - exp_y) % _L
-            r1[i] = (exp_y * self.a_R[i].v + wL[i].v) % _L
-            r3[i] = exp_y * s_R[i].v % _L
-            exp_y = exp_y * yv % _L
-        for i in range(n, padded_n):
-            r0[i] = _L - exp_y
-            exp_y = exp_y * yv % _L
-
-        def ip(u, w):
-            return sum(map(lambda a, b: a * b, u, w)) % _L
-
-        # t(x) = <l(x), r(x)>, degree 6, t0 == 0 (l0 == 0)
-        t1 = Scalar(ip(l1, r0))
-        t2 = Scalar(ip(l1, r1) + ip(l2, r0))
-        t3 = Scalar(ip(l2, r1) + ip(l3, r0))
-        t4 = Scalar(ip(l1, r3) + ip(l3, r1))
-        t5 = Scalar(ip(l2, r3))
-        t6 = Scalar(ip(l3, r3))
+        # t(x) = <l(x), r(x)>, degree 6, t0 == 0 (l0 == 0); l is zero on the
+        # pad so inner products over the first n entries are exact
+        t1 = scvec.inner(l1, r0)
+        t2 = scvec.inner(l1, r1) + scvec.inner(l2, r0)
+        t3 = scvec.inner(l2, r1) + scvec.inner(l3, r0)
+        t4 = scvec.inner(l1, r3) + scvec.inner(l3, r1)
+        t5 = scvec.inner(l2, r3)
+        t6 = scvec.inner(l3, r3)
 
         t_1_blinding = self._random_scalar()
         t_3_blinding = self._random_scalar()
@@ -413,33 +406,32 @@ class Prover:
         u = t.challenge_scalar(b"u")
         x = t.challenge_scalar(b"x")
 
-        t_2_blinding = inner_product(wV, self.v_blinding)
+        t_2_blinding = scvec.inner(
+            wV_arr, scvec.from_scalars(self.v_blinding)
+        )
 
         # evaluate t, blinding poly, l, r at x
         xx = x * x
+        xxx = xx * x
         t_x = (
-            t1 * x + t2 * xx + t3 * xx * x + t4 * xx * xx
-            + t5 * xx * xx * x + t6 * xx * xx * xx
+            t1 * x + t2 * xx + t3 * xxx + t4 * xx * xx
+            + t5 * xx * xxx + t6 * xxx * xxx
         )
         t_x_blinding = (
             t_1_blinding * x
             + t_2_blinding * xx
-            + t_3_blinding * xx * x
+            + t_3_blinding * xxx
             + t_4_blinding * xx * xx
-            + t_5_blinding * xx * xx * x
-            + t_6_blinding * xx * xx * xx
+            + t_5_blinding * xx * xxx
+            + t_6_blinding * xxx * xxx
         )
-        xv = x.v
-        xxv = xv * xv % _L
-        xxxv = xxv * xv % _L
-        l_vec = [
-            Scalar((l1[i] * xv + l2[i] * xxv + l3[i] * xxxv) % _L)
-            for i in range(padded_n)
-        ]
-        r_vec = [
-            Scalar((r0[i] + r1[i] * xv + r3[i] * xxxv) % _L)
-            for i in range(padded_n)
-        ]
+        l_vec = scvec.add(
+            scvec.axpby(l1, x, l2, xx), scvec.scale(l3, xxx)
+        )
+        r_vec = scvec.add(r0, scvec.axpby(r1, x, r3, xxx))
+        if pad:
+            l_vec = np.concatenate([l_vec, scvec.zeros(pad)])
+            r_vec = np.concatenate([r_vec, r0_pad])
 
         i_blinding = i_blinding1 + u * i_blinding2
         o_blinding = o_blinding1 + u * o_blinding2
@@ -454,22 +446,36 @@ class Prover:
         w = t.challenge_scalar(b"w")
         Q = self.pc_gens.B.scalar_mul(w)
 
-        G_factors = [Scalar.one()] * n1 + [u] * (n2 + pad)
-        H_factors = [exp_y_inv[i] * G_factors[i] for i in range(padded_n)]
-
-        if backend is not None and hasattr(backend, "stage_ipp_gens"):
-            backend.stage_ipp_gens(gens, padded_n)
-        ipp = InnerProductProof.create(
-            t,
-            Q,
-            G_factors,
-            H_factors,
-            gens.G(padded_n),
-            gens.H(padded_n),
-            l_vec,
-            r_vec,
-            backend=backend,
+        # G_factors = [1]*n1 + [u]*(n2+pad); H_factors = y^-i * G_factors
+        G_factors = np.concatenate(
+            [
+                np.tile(scvec.scalar_to_row(Scalar.one()), (n1, 1)),
+                np.tile(scvec.scalar_to_row(u), (n2 + pad, 1)),
+            ]
         )
+        H_factors = scvec.mul(yinv_pow, G_factors)
+
+        t.innerproduct_domain_sep(padded_n)
+        if backend is not None:
+            if hasattr(backend, "stage_ipp_gens"):
+                backend.stage_ipp_gens(gens, padded_n)
+            ipp = backend.ipp_create(
+                t, Q, G_factors, H_factors,
+                gens.G(padded_n), gens.H(padded_n), l_vec, r_vec,
+            )
+        else:
+            from .ipp import _skip_domain_sep
+
+            ipp = InnerProductProof.create(
+                _skip_domain_sep(t),
+                Q,
+                scvec.to_scalars(G_factors),
+                scvec.to_scalars(H_factors),
+                gens.G(padded_n),
+                gens.H(padded_n),
+                scvec.to_scalars(l_vec),
+                scvec.to_scalars(r_vec),
+            )
 
         _mark("ipp")
         if _timing:

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import secrets
 
+import numpy as np
+
 from .scalar import Scalar, exp_iter
 from .linear_combination import Variable, VarKind, LinearCombination, _coerce
 from .ristretto import RistrettoPoint, multiscalar_mul
@@ -32,6 +34,8 @@ from .transcript import Transcript
 from .pedersen import PedersenGens, BulletproofGens
 from .proof import R1CSProof, _IDENTITY
 from .errors import VerificationError, InvalidGeneratorsLength, MissingAssignment
+from .tape import TapeArrays
+from . import scvec
 from ..utils.stats import CircuitStats
 
 
@@ -116,38 +120,6 @@ class Verifier:
         )
 
     # -------------------------------------------------------------- internals
-    def _flattened_constraints(self, z: Scalar, n: int):
-        from ..utils.constants import L as _L
-
-        wL = [0] * n
-        wR = [0] * n
-        wO = [0] * n
-        wV = [0] * len(self.V)
-        wc = 0
-        exp_z = z.v
-        zv = z.v
-        for lc in self.constraints:
-            for var, coeff in lc.terms:
-                k = var.kind
-                if k == VarKind.MULT_LEFT:
-                    wL[var.index] += exp_z * coeff.v
-                elif k == VarKind.MULT_RIGHT:
-                    wR[var.index] += exp_z * coeff.v
-                elif k == VarKind.MULT_OUT:
-                    wO[var.index] += exp_z * coeff.v
-                elif k == VarKind.COMMITTED:
-                    wV[var.index] -= exp_z * coeff.v
-                else:  # ONE
-                    wc -= exp_z * coeff.v
-            exp_z = exp_z * zv % _L
-        return (
-            [Scalar(v) for v in wL],
-            [Scalar(v) for v in wR],
-            [Scalar(v) for v in wO],
-            [Scalar(v) for v in wV],
-            Scalar(wc),
-        )
-
     def _create_randomized_constraints(self) -> None:
         if not self.deferred_constraints:
             self.transcript.r1cs_1phase_domain_sep()
@@ -197,7 +169,9 @@ class Verifier:
         y = t.challenge_scalar(b"y")
         z = t.challenge_scalar(b"z")
 
-        wL, wR, wO, wV, wc = self._flattened_constraints(z, n)
+        wL, wR, wO, wV, wc = TapeArrays(self.constraints).flatten(
+            z, n, len(self.V), want_wc=True
+        )
 
         t.validate_and_append_point(b"T_1", proof.T_1)
         t.validate_and_append_point(b"T_3", proof.T_3)
@@ -214,72 +188,72 @@ class Verifier:
 
         w = t.challenge_scalar(b"w")
 
-        u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(padded_n, t)
-        s_inv = list(reversed(s))
+        u_sq, u_inv_sq, s_arr = proof.ipp_proof.verification_scalars_arrays(
+            padded_n, t
+        )
+        s_inv_arr = np.ascontiguousarray(s_arr[::-1])
         a = proof.ipp_proof.a
         b = proof.ipp_proof.b
 
         y_inv = y.invert()
-        exp_y_inv = exp_iter(y_inv, padded_n)
-
-        from ..utils.constants import L as _L
+        yinv_pow = scvec.powers(y_inv, padded_n)
 
         # delta = <y^-n o wR, wL>
-        delta = Scalar(
-            sum(exp_y_inv[i].v * wR[i].v % _L * wL[i].v for i in range(n)) % _L
-        )
+        delta = scvec.inner(scvec.mul(yinv_pow[:n], wR), wL)
 
         # random combining factor for the two checks
         r = Scalar.from_bytes_mod_order_wide(secrets.token_bytes(64))
 
         xx = x * x
-        u_g = [Scalar.one()] * n1 + [u] * (n2 + pad)
+        u_g = np.concatenate(
+            [
+                np.tile(scvec.scalar_to_row(Scalar.one()), (n1, 1)),
+                np.tile(scvec.scalar_to_row(u), (n2 + pad, 1)),
+            ]
+        )
 
-        xv = x.v
-        av = a.v
-        bv = b.v
-        g_scalars = [
-            Scalar(
-                u_g[i].v
-                * (
-                    (xv * exp_y_inv[i].v % _L) * (wR[i].v if i < n else 0)
-                    - av * s[i].v
-                )
-                % _L
-            )
-            for i in range(padded_n)
-        ]
-        h_scalars = [
-            Scalar(
-                u_g[i].v
-                * (
-                    exp_y_inv[i].v
-                    * (
-                        xv * (wL[i].v if i < n else 0)
-                        + (wO[i].v if i < n else 0)
-                        - bv * s_inv[i].v
-                    )
-                    - 1
-                )
-                % _L
-            )
-            for i in range(padded_n)
-        ]
+        def _pad_wire(wv: np.ndarray) -> np.ndarray:
+            if pad == 0:
+                return wv
+            return np.concatenate([wv, scvec.zeros(pad)])
+
+        # g_i = u_g_i * (x*y^-i*wR_i - a*s_i)
+        g_scalars = scvec.mul(
+            u_g,
+            scvec.sub(
+                scvec.mul(scvec.scale(yinv_pow, x), _pad_wire(wR)),
+                scvec.scale(s_arr, a),
+            ),
+        )
+        # h_i = u_g_i * (y^-i*(x*wL_i + wO_i - b*s_inv_i) - 1)
+        ones = np.tile(scvec.scalar_to_row(Scalar.one()), (padded_n, 1))
+        h_inner = scvec.sub(
+            scvec.add(
+                scvec.scale(_pad_wire(wL), x), _pad_wire(wO)
+            ),
+            scvec.scale(s_inv_arr, b),
+        )
+        h_scalars = scvec.mul(u_g, scvec.sub(scvec.mul(yinv_pow, h_inner), ones))
 
         B_scalar = w * (proof.t_x - a * b) + r * (xx * (wc + delta) - proof.t_x)
         # The reconstructed P carries e_blinding*B_blinding which the
         # (blinding-free) IPP relation must not see: subtract it here.
         B_blinding_scalar = -proof.e_blinding - r * proof.t_x_blinding
 
-        scalars = (
+        rxx = r * xx
+        head = scvec.from_scalars(
             [x, xx, xx * x, u * x, u * xx, u * xx * x]
-            + [r * xx * wV[j] for j in range(len(wV))]
-            + [r * x, r * xx * x, r * xx * xx, r * xx * xx * x, r * xx * xx * xx]
-            + [B_scalar, B_blinding_scalar]
-            + g_scalars
-            + h_scalars
-            + u_sq
-            + u_inv_sq
+        )
+        wV_part = scvec.scale(wV, rxx) if len(self.V) else scvec.zeros(0)
+        mid = scvec.from_scalars(
+            [r * x, rxx * x, rxx * xx, rxx * xx * x, rxx * xx * xx,
+             B_scalar, B_blinding_scalar]
+        )
+        scalars_arr = np.concatenate(
+            [
+                head, wV_part, mid, g_scalars, h_scalars,
+                scvec.from_scalars(u_sq), scvec.from_scalars(u_inv_sq),
+            ]
         )
 
         try:
@@ -310,9 +284,9 @@ class Verifier:
             raise VerificationError(f"invalid point encoding: {e}")
 
         if backend is not None:
-            mega = backend.msm(scalars, points)
+            mega = backend.msm(scalars_arr, points)
         else:
-            mega = multiscalar_mul(scalars, points)
+            mega = multiscalar_mul(scvec.to_scalars(scalars_arr), points)
         if not mega.is_identity():
             raise VerificationError("R1CS proof verification failed")
 

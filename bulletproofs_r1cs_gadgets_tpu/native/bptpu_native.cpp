@@ -180,15 +180,16 @@ void sc_mul(const u64 a[4], const u64 b[4], u64 out[4]) {
 }
 
 void sc_add(const u64 a[4], const u64 b[4], u64 out[4]) {
+  // canonical inputs (< L < 2^253): sum < 2L fits 4 limbs; one conditional
+  // subtraction restores canonical form (reduce_wide here cost 25x).
   u128 carry = 0;
-  u64 sum[8] = {0, 0, 0, 0, 0, 0, 0, 0};
   for (int i = 0; i < 4; ++i) {
     u128 cur = (u128)a[i] + b[i] + carry;
-    sum[i] = (u64)cur;
+    out[i] = (u64)cur;
     carry = cur >> 64;
   }
-  sum[4] = (u64)carry;
-  reduce_wide(sum, out);
+  // carry-out cannot happen for canonical inputs (2L < 2^254)
+  while (ge_l(out)) sub_l(out);
 }
 
 void sc_sub(const u64 a[4], const u64 b[4], u64 out[4]) {
@@ -226,6 +227,139 @@ void sc_inv(const u64 a[4], u64 out[4]) {
     }
   }
   memcpy(out, acc, sizeof(acc));
+}
+
+// ------------------------------------------------- vectorized field (Z/L)
+// Array layout: (n, 4) little-endian u64 limbs, C-contiguous (numpy view).
+// These back the prover's hot O(n) loops (l/r polynomial construction, IPP
+// scalar folds, inner products, constraint flattening) that the dalek
+// engine runs as Rust iterator chains; here they are host C++ so Python
+// never loops over 2^18 scalars (VERDICT round-1 "warm prove is ~40% host
+// Python").
+
+using i64 = long long;
+
+void sc_vec_mul(const u64* a, const u64* b, u64* out, i64 n) {
+  for (i64 i = 0; i < n; ++i) sc_mul(a + 4 * i, b + 4 * i, out + 4 * i);
+}
+
+void sc_vec_add(const u64* a, const u64* b, u64* out, i64 n) {
+  for (i64 i = 0; i < n; ++i) sc_add(a + 4 * i, b + 4 * i, out + 4 * i);
+}
+
+void sc_vec_sub(const u64* a, const u64* b, u64* out, i64 n) {
+  for (i64 i = 0; i < n; ++i) sc_sub(a + 4 * i, b + 4 * i, out + 4 * i);
+}
+
+// out_i = a_i * s
+void sc_vec_scale(const u64* a, const u64 s[4], u64* out, i64 n) {
+  for (i64 i = 0; i < n; ++i) sc_mul(a + 4 * i, s, out + 4 * i);
+}
+
+// out_i = a_i * x + b_i * y   (the IPP fold: a' = a_L*u + a_R*u_inv)
+void sc_vec_axpby(const u64* a, const u64 x[4], const u64* b, const u64 y[4],
+                  u64* out, i64 n) {
+  u64 t1[4], t2[4];
+  for (i64 i = 0; i < n; ++i) {
+    sc_mul(a + 4 * i, x, t1);
+    sc_mul(b + 4 * i, y, t2);
+    sc_add(t1, t2, out + 4 * i);
+  }
+}
+
+// out = sum_i a_i * b_i  (lazy 512-bit accumulation, one final reduction)
+void sc_vec_inner(const u64* a, const u64* b, i64 n, u64 out[4]) {
+  u64 acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  u64 prod[8];
+  for (i64 i = 0; i < n; ++i) {
+    const u64* x = a + 4 * i;
+    const u64* y = b + 4 * i;
+    memset(prod, 0, sizeof(prod));
+    for (int j = 0; j < 4; ++j) {
+      u128 carry = 0;
+      for (int k = 0; k < 4; ++k) {
+        u128 cur = (u128)x[j] * y[k] + prod[j + k] + carry;
+        prod[j + k] = (u64)cur;
+        carry = cur >> 64;
+      }
+      prod[j + 4] += (u64)carry;
+    }
+    // acc += prod; on carry-out risk (acc high limb near max), pre-reduce.
+    u128 carry = 0;
+    for (int j = 0; j < 8; ++j) {
+      u128 cur = (u128)acc[j] + prod[j] + carry;
+      acc[j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    if (acc[7] >> 56) {  // headroom check: reduce long before overflow
+      u64 red[4];
+      reduce_wide(acc, red);
+      memset(acc, 0, sizeof(acc));
+      memcpy(acc, red, sizeof(red));
+    }
+  }
+  reduce_wide(acc, out);
+}
+
+// out_i = base^i for i in 0..n-1
+void sc_vec_powers(const u64 base[4], u64* out, i64 n) {
+  if (n <= 0) return;
+  u64 cur[4] = {1, 0, 0, 0};
+  memcpy(out, cur, 32);
+  for (i64 i = 1; i < n; ++i) {
+    sc_mul(out + 4 * (i - 1), base, out + 4 * i);
+  }
+}
+
+// 64-byte little-endian wide values -> canonical scalars (dalek
+// from_bytes_mod_order_wide; used for bulk blinding generation)
+void sc_vec_from_wide(const uint8_t* bytes, u64* out, i64 n) {
+  for (i64 i = 0; i < n; ++i) {
+    u64 wide[8];
+    memcpy(wide, bytes + 64 * i, 64);
+    reduce_wide(wide, out + 4 * i);
+  }
+}
+
+// Montgomery batch inversion; zeros pass through as zero (dalek semantics)
+void sc_vec_batch_inv(const u64* a, u64* out, i64 n) {
+  // prefix[i] = product of nonzero a_0..a_{i-1}
+  u64* prefix = new u64[4 * (n + 1)];
+  u64 one[4] = {1, 0, 0, 0};
+  memcpy(prefix, one, 32);
+  for (i64 i = 0; i < n; ++i) {
+    const u64* x = a + 4 * i;
+    bool zero = !(x[0] | x[1] | x[2] | x[3]);
+    if (zero)
+      memcpy(prefix + 4 * (i + 1), prefix + 4 * i, 32);
+    else
+      sc_mul(prefix + 4 * i, x, prefix + 4 * (i + 1));
+  }
+  u64 inv_all[4];
+  sc_inv(prefix + 4 * n, inv_all);
+  for (i64 i = n - 1; i >= 0; --i) {
+    const u64* x = a + 4 * i;
+    bool zero = !(x[0] | x[1] | x[2] | x[3]);
+    if (zero) {
+      memset(out + 4 * i, 0, 32);
+    } else {
+      sc_mul(prefix + 4 * i, inv_all, out + 4 * i);
+      sc_mul(inv_all, x, inv_all);
+    }
+  }
+  delete[] prefix;
+}
+
+// Constraint flattening: for each tape term t, out[widx[t]] += zpow[cidx[t]]
+// * coeff[t] (sign folded into coeff).  One call per wire class (wL/wR/wO/
+// wV); the z-power table is shared.
+void sc_flatten(const u64* zpow, const u64* coeff, const i64* cidx,
+                const i64* widx, i64 m, u64* out) {
+  u64 t[4];
+  for (i64 i = 0; i < m; ++i) {
+    sc_mul(zpow + 4 * cidx[i], coeff + 4 * i, t);
+    sc_add(out + 4 * widx[i], t, out + 4 * widx[i]);
+  }
 }
 
 // ----------------------------------------------------------- poseidon (L)

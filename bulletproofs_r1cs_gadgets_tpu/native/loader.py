@@ -39,6 +39,19 @@ class _Native:
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
         ]
+        # vectorized field layer (core/scvec.py): (n, 4) u64 arrays
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64 = ctypes.c_longlong
+        i64p = ctypes.POINTER(i64)
+        for name in ("sc_vec_mul", "sc_vec_add", "sc_vec_sub"):
+            getattr(lib, name).argtypes = [u64p, u64p, u64p, i64]
+        lib.sc_vec_scale.argtypes = [u64p, u64p, u64p, i64]
+        lib.sc_vec_axpby.argtypes = [u64p, u64p, u64p, u64p, u64p, i64]
+        lib.sc_vec_inner.argtypes = [u64p, u64p, i64, u64p]
+        lib.sc_vec_powers.argtypes = [u64p, u64p, i64]
+        lib.sc_vec_from_wide.argtypes = [ctypes.c_char_p, u64p, i64]
+        lib.sc_vec_batch_inv.argtypes = [u64p, u64p, i64]
+        lib.sc_flatten.argtypes = [u64p, u64p, i64p, i64p, i64, u64p]
 
     def keccak_f1600(self, state: bytearray) -> None:
         buf = (ctypes.c_char * 200).from_buffer(state)

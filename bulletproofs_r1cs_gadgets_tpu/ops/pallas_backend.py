@@ -5,10 +5,14 @@ ipp_create / msm), with every MSM a single ``msm_block_totals`` dispatch
 (bit-serial per-lane ladders + in-kernel block reduction; per-block totals
 are combined on host - at most a few hundred adds).  The IPP fuses the two
 L/R MSMs per round into one dispatch (block-aligned lane packing) and folds
-both generator vectors in one ``fold_chunk`` dispatch.  Only transcripts
-and O(n) scalar folds stay on host.  This is the production TPU path;
-:class:`.backend.DeviceBackend` remains the XLA-composed variant (the
-CPU-testable oracle).
+both generator vectors in one ``fold_chunk`` dispatch.
+
+Scalar vectors arrive as ``(n, 4) uint64`` numpy arrays (``core.scvec``
+layout): the packed 32-bit words the kernels consume are a zero-copy view
+of that layout, and all host-side scalar folds/inner products run in the
+C++ vector layer — only transcripts stay in Python.  This is the
+production TPU path; :class:`.backend.DeviceBackend` remains the
+XLA-composed variant (the CPU-testable oracle).
 """
 
 from __future__ import annotations
@@ -46,9 +50,10 @@ class _Timer:
 
 TIMER = _Timer()
 
-from ..core.scalar import Scalar, inner_product
+from ..core.scalar import Scalar
+from ..core import scvec
 from ..core.ristretto import RistrettoPoint, multiscalar_mul
-from ..core.ipp import InnerProductProof
+from ..core.ipp import InnerProductProof, _skip_domain_sep
 from ..utils.constants import L
 from .curve import points_to_device, points_from_device
 from . import pallas_curve as pcurve
@@ -56,7 +61,22 @@ from . import pallas_curve as pcurve
 MIN_DEVICE_N = 64
 
 
-_words_matrix = pcurve.words_matrix
+def _as_array(scalars) -> np.ndarray:
+    """list[Scalar] | (n,4) u64 array -> (n,4) u64 array."""
+    if isinstance(scalars, np.ndarray):
+        return scalars
+    return scvec.from_scalars(list(scalars))
+
+
+def _words_rows(arr: np.ndarray, target: int) -> jnp.ndarray:
+    """(m, 4) u64 scalars -> (8, SUB, target/SUB) packed-word rows, zero-
+    padded to `target` lanes (zero-copy u64->u32 word view)."""
+    m = arr.shape[0]
+    if m < target:
+        arr = np.concatenate(
+            [arr, np.zeros((target - m, 4), dtype=np.uint64)]
+        )
+    return pcurve.words_to_rows(scvec.words_u32(arr).view(np.int32))
 
 
 def _pad_pts(rows: jnp.ndarray, n: int, target: int) -> jnp.ndarray:
@@ -82,16 +102,15 @@ class PallasBackend:
     # ------------------------------------------------------------- MSM core
     # Bit-serial per-lane ladders (smul_lanes) + halving reduction: on this
     # backend small loop bodies run at hardware speed while the windowed
-    # table kernel (msm_lanes) hits a scratch/dynamic-store pathology --
+    # table kernel (msm_lanes) hit a scratch/dynamic-store pathology --
     # see ops/pallas_curve.py; revisit when that is fixed.
-    def _msm_to_point(self, scalars, rows, n) -> RistrettoPoint:
+    def _msm_to_point(self, arr: np.ndarray, rows, n) -> RistrettoPoint:
         """One-dispatch MSM (in-kernel block reduction) + tiny host combine
         of the per-block totals."""
         t0 = time.time() if _TIMING else 0
         target = -(-n // pcurve.BLOCK_PTS) * pcurve.BLOCK_PTS
         rows = _pad_pts(rows, n, target)
-        words = pcurve.words_matrix(scalars + [0] * (target - len(scalars)))
-        wr = pcurve.words_to_rows(words)
+        wr = _words_rows(arr, target)
         if _TIMING:
             TIMER.add("msm_prep", time.time() - t0)
             t0 = time.time()
@@ -108,7 +127,7 @@ class PallasBackend:
             acc = acc + p
         return acc
 
-    def _msm_pair(self, sc_a, flat_a, sc_b, flat_b, m):
+    def _msm_pair(self, sc_a: np.ndarray, flat_a, sc_b: np.ndarray, flat_b, m):
         """Two same-sized MSMs fused into one dispatch: each occupies whole
         blocks, so per-block totals attribute cleanly to one MSM."""
         target = -(-m // pcurve.BLOCK_PTS) * pcurve.BLOCK_PTS
@@ -127,13 +146,8 @@ class PallasBackend:
 
         t0 = time.time() if _TIMING else 0
         rows = jnp.concatenate([prep(flat_a), prep(flat_b)], axis=2)
-        pad = [0] * (target - m)
         words = jnp.concatenate(
-            [
-                pcurve.words_to_rows(pcurve.words_matrix(sc_a + pad)),
-                pcurve.words_to_rows(pcurve.words_matrix(sc_b + pad)),
-            ],
-            axis=2,
+            [_words_rows(sc_a, target), _words_rows(sc_b, target)], axis=2
         )
         if _TIMING:
             TIMER.add("pair_prep", time.time() - t0)
@@ -155,14 +169,14 @@ class PallasBackend:
 
         return comb(pts[:ka]), comb(pts[ka:])
 
-    def msm(
-        self, scalars: list[Scalar], points: list[RistrettoPoint]
-    ) -> RistrettoPoint:
+    def msm(self, scalars, points: list[RistrettoPoint]) -> RistrettoPoint:
         if len(scalars) < self.min_device_n:
+            if isinstance(scalars, np.ndarray):
+                scalars = scvec.to_scalars(scalars)
             return multiscalar_mul(scalars, points)
         rows = pcurve.points_to_rows(_padded_points_dev(points))
         return self._msm_to_point(
-            [s.v for s in scalars], rows, _pad8(len(points))
+            _as_array(scalars), rows, _pad8(len(points))
         )
 
     # -------------------------------------------------- generator caching
@@ -186,17 +200,24 @@ class PallasBackend:
         if n < self.min_device_n:
             G = gens_share.G(offset + n)[offset:]
             H = gens_share.H(offset + n)[offset:]
+            a_Ls = scvec.to_scalars(_as_array(a_L))
+            a_Rs = scvec.to_scalars(_as_array(a_R))
+            a_Os = scvec.to_scalars(_as_array(a_O))
+            s_Ls = scvec.to_scalars(_as_array(s_L))
+            s_Rs = scvec.to_scalars(_as_array(s_R))
             A_I = multiscalar_mul(
-                [i_blinding] + a_L + a_R, [B_blinding] + G + H
+                [i_blinding] + a_Ls + a_Rs, [B_blinding] + G + H
             ).compress()
             A_O = multiscalar_mul(
-                [o_blinding] + a_O, [B_blinding] + G
+                [o_blinding] + a_Os, [B_blinding] + G
             ).compress()
             S = multiscalar_mul(
-                [s_blinding] + s_L + s_R, [B_blinding] + G + H
+                [s_blinding] + s_Ls + s_Rs, [B_blinding] + G + H
             ).compress()
             return A_I, A_O, S
         assert offset == 0, "phase-2 device commitments not yet routed"
+        a_L, a_R, a_O = _as_array(a_L), _as_array(a_R), _as_array(a_O)
+        s_L, s_R = _as_array(s_L), _as_array(s_R)
         # build one rows array [B_blinding, G(n), H(n)]
         G_rows, _ = self._gens_rows(gens_share, n, "G")
         H_rows, _ = self._gens_rows(gens_share, n, "H")
@@ -212,9 +233,10 @@ class PallasBackend:
         combined = jnp.concatenate(
             [combined, pcurve._ident_flat(mp - m)], axis=1
         ).reshape(pcurve.ROWS, pcurve.SUB, mp // pcurve.SUB)
-        sc_AI = [i_blinding.v] + [s.v for s in a_L] + [s.v for s in a_R]
+        row = scvec.scalar_to_row
+        sc_AI = np.concatenate([row(i_blinding)[None], a_L, a_R])
         A_I = self._msm_to_point(sc_AI, combined, m)
-        sc_S = [s_blinding.v] + [s.v for s in s_L] + [s.v for s in s_R]
+        sc_S = np.concatenate([row(s_blinding)[None], s_L, s_R])
         S = self._msm_to_point(sc_S, combined, m)
         combined_G = jnp.concatenate([bflat, gflat], axis=1)
         mg = 1 + n
@@ -223,7 +245,7 @@ class PallasBackend:
             [combined_G, pcurve._ident_flat(mgp - mg)], axis=1
         ).reshape(pcurve.ROWS, pcurve.SUB, mgp // pcurve.SUB)
         A_O = self._msm_to_point(
-            [o_blinding.v] + [s.v for s in a_O], combined_G, mg
+            np.concatenate([row(o_blinding)[None], a_O]), combined_G, mg
         )
         return A_I.compress(), A_O.compress(), S.compress()
 
@@ -243,15 +265,24 @@ class PallasBackend:
     def ipp_create(
         self, transcript, Q, G_factors, H_factors, G, H, a, b
     ) -> InnerProductProof:
+        """Caller has already appended the ``ipp v1`` domain separator;
+        G_factors/H_factors/a/b are (n, 4) u64 arrays."""
         n = len(G)
         if n < self.min_device_n:
-            from .backend import _SkipDomainSep
-
             return InnerProductProof.create(
-                _SkipDomainSep(transcript), Q, G_factors, H_factors, G, H, a, b
+                _skip_domain_sep(transcript), Q,
+                scvec.to_scalars(_as_array(G_factors)),
+                scvec.to_scalars(_as_array(H_factors)),
+                G, H,
+                scvec.to_scalars(_as_array(a)),
+                scvec.to_scalars(_as_array(b)),
             )
 
         t0 = time.time() if _TIMING else 0
+        G_factors = _as_array(G_factors)
+        H_factors = _as_array(H_factors)
+        a = _as_array(a)
+        b = _as_array(b)
         staged = getattr(self, "_staged_ipp", None)
         if staged is not None and staged[0] == n:
             _, G_flat, H_flat = staged
@@ -268,8 +299,6 @@ class PallasBackend:
         ).reshape(pcurve.ROWS, -1)[:, :1]
         if _TIMING:
             TIMER.add("ipp_upload", time.time() - t0)
-        a = list(a)
-        b = list(b)
         L_vec: list[bytes] = []
         R_vec: list[bytes] = []
         first = True
@@ -278,22 +307,24 @@ class PallasBackend:
             t0 = time.time() if _TIMING else 0
             a_L, a_R = a[:n], a[n:]
             b_L, b_R = b[:n], b[n:]
-            c_L = inner_product(a_L, b_R)
-            c_R = inner_product(a_R, b_L)
+            c_L = scvec.inner(a_L, b_R)
+            c_R = scvec.inner(a_R, b_L)
+            row_cL = scvec.scalar_to_row(c_L)[None]
+            row_cR = scvec.scalar_to_row(c_R)[None]
             if first:
-                sc_L = (
-                    [(a_L[i] * G_factors[n + i]).v for i in range(n)]
-                    + [(b_R[i] * H_factors[i]).v for i in range(n)]
-                    + [c_L.v]
-                )
-                sc_R = (
-                    [(a_R[i] * G_factors[i]).v for i in range(n)]
-                    + [(b_L[i] * H_factors[n + i]).v for i in range(n)]
-                    + [c_R.v]
-                )
+                sc_L = np.concatenate([
+                    scvec.mul(a_L, G_factors[n : 2 * n]),
+                    scvec.mul(b_R, H_factors[:n]),
+                    row_cL,
+                ])
+                sc_R = np.concatenate([
+                    scvec.mul(a_R, G_factors[:n]),
+                    scvec.mul(b_L, H_factors[n : 2 * n]),
+                    row_cR,
+                ])
             else:
-                sc_L = [s.v for s in a_L] + [s.v for s in b_R] + [c_L.v]
-                sc_R = [s.v for s in a_R] + [s.v for s in b_L] + [c_R.v]
+                sc_L = np.concatenate([a_L, b_R, row_cL])
+                sc_R = np.concatenate([a_R, b_L, row_cR])
             pts_L = jnp.concatenate(
                 [G_flat[:, n:], H_flat[:, :n], Q_flat], axis=1
             )
@@ -313,21 +344,21 @@ class PallasBackend:
             u = transcript.challenge_scalar(b"u")
             u_inv = u.invert()
             t0 = time.time() if _TIMING else 0
-            a = [a_L[i] * u + u_inv * a_R[i] for i in range(n)]
-            b = [b_L[i] * u_inv + u * b_R[i] for i in range(n)]
+            a = scvec.axpby(a_L, u, a_R, u_inv)
+            b = scvec.axpby(b_L, u_inv, b_R, u)
             if _TIMING:
                 TIMER.add("ipp_host_folds", time.time() - t0)
             if first:
-                gl = [(u_inv.v * G_factors[i].v) % L for i in range(n)]
-                gr = [(u.v * G_factors[n + i].v) % L for i in range(n)]
-                hl = [(u.v * H_factors[i].v) % L for i in range(n)]
-                hr = [(u_inv.v * H_factors[n + i].v) % L for i in range(n)]
+                gl = scvec.scale(G_factors[:n], u_inv)
+                gr = scvec.scale(G_factors[n : 2 * n], u)
+                hl = scvec.scale(H_factors[:n], u)
+                hr = scvec.scale(H_factors[n : 2 * n], u_inv)
                 first = False
             else:
-                gl = [u_inv.v] * n
-                gr = [u.v] * n
-                hl = [u.v] * n
-                hr = [u_inv.v] * n
+                gl = np.tile(scvec.scalar_to_row(u_inv), (n, 1))
+                gr = np.tile(scvec.scalar_to_row(u), (n, 1))
+                hl = gr
+                hr = gl
             t0 = time.time() if _TIMING else 0
             G_flat, H_flat = self._fold_pair(
                 G_flat, H_flat, n, gl, gr, hl, hr
@@ -336,7 +367,9 @@ class PallasBackend:
             if _TIMING:
                 TIMER.add("fold", time.time() - t0)
         TIMER.dump("ipp")
-        return InnerProductProof(L_vec, R_vec, a[0], b[0])
+        return InnerProductProof(
+            L_vec, R_vec, scvec.row_to_scalar(a[0]), scvec.row_to_scalar(b[0])
+        )
 
     def _fold_pair(self, g_flat, h_flat, n, gl, gr, hl, hr):
         """Fold both generator vectors in ONE fold_chunk dispatch (lane-axis
@@ -356,21 +389,19 @@ class PallasBackend:
             [prep(g_flat, n, 2 * n), prep(h_flat, n, 2 * n)], axis=2
         )
 
-        def prep_words(sc):
-            mat = np.concatenate(
-                [_words_matrix(sc), np.zeros((np_ - n, 8), np.int32)]
-            )
-            return pcurve.words_to_rows(mat)
-
-        bl = jnp.concatenate([prep_words(gl), prep_words(hl)], axis=2)
-        br = jnp.concatenate([prep_words(gr), prep_words(hr)], axis=2)
+        bl = jnp.concatenate(
+            [_words_rows(gl, np_), _words_rows(hl, np_)], axis=2
+        )
+        br = jnp.concatenate(
+            [_words_rows(gr, np_), _words_rows(hr, np_)], axis=2
+        )
         folded = pcurve.fold_chunk(left, right, bl, br)
         lanes = np_ // pcurve.SUB
         g_out = folded[:, :, :lanes].reshape(pcurve.ROWS, np_)[:, :n]
         h_out = folded[:, :, lanes:].reshape(pcurve.ROWS, np_)[:, :n]
         return g_out, h_out
 
-    def _fold(self, flat, n, s_left, s_right):
+    def _fold(self, flat, n, s_left: np.ndarray, s_right: np.ndarray):
         """flat (92, 2n) -> (92, n): out_i = s_left_i*P_i + s_right_i*P_{n+i}."""
         np_ = _pad_to_block(n)
         left = jnp.concatenate(
@@ -379,17 +410,9 @@ class PallasBackend:
         right = jnp.concatenate(
             [flat[:, n : 2 * n], pcurve._ident_flat(np_ - n)], axis=1
         ).reshape(pcurve.ROWS, pcurve.SUB, np_ // pcurve.SUB)
-        bl = pcurve.words_to_rows(
-            np.concatenate(
-                [_words_matrix(s_left), np.zeros((np_ - n, 8), np.int32)]
-            )
+        folded = pcurve.fold_chunk(
+            left, right, _words_rows(s_left, np_), _words_rows(s_right, np_)
         )
-        br = pcurve.words_to_rows(
-            np.concatenate(
-                [_words_matrix(s_right), np.zeros((np_ - n, 8), np.int32)]
-            )
-        )
-        folded = pcurve.fold_chunk(left, right, bl, br)
         return folded.reshape(pcurve.ROWS, np_)[:, :n]
 
 
