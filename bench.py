@@ -141,14 +141,13 @@ def _prove_verify_poseidon2(backend):
     )
     from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon import (
         Poseidon_hash_2,
-        Poseidon_hash_2_gadget,
         PoseidonParams,
         SboxType,
         allocate_statics_for_prover,
         allocate_statics_for_verifier,
     )
-    from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import (
-        AllocatedScalar,
+    from bulletproofs_r1cs_gadgets_tpu.models.compiled import (
+        CompiledPoseidon2,
     )
 
     params = PoseidonParams(6, 4, 4, 140)
@@ -156,31 +155,23 @@ def _prove_verify_poseidon2(backend):
     expected = Poseidon_hash_2(xl, xr, params, SboxType.Inverse)
     pc_gens = PedersenGens.default()
     bp_gens = BulletproofGens(2048)
+    comp = CompiledPoseidon2(params, SboxType.Inverse)
 
     t_all = time.time()
     prover = Prover(pc_gens, Transcript(b"PoseidonBench"))
-    com_l, var_l = prover.commit(xl, Scalar.random())
-    com_r, var_r = prover.commit(xr, Scalar.random())
-    statics = allocate_statics_for_prover(prover, 4)
-    Poseidon_hash_2_gadget(
-        prover,
-        AllocatedScalar(var_l, xl),
-        AllocatedScalar(var_r, xr),
-        statics,
-        params,
-        SboxType.Inverse,
-        expected,
-    )
+    com_l, _ = prover.commit(xl, Scalar.random())
+    com_r, _ = prover.commit(xr, Scalar.random())
+    allocate_statics_for_prover(prover, 4)
+    aL, aR, aO = comp.witness(xl, xr)
+    prover.load_compiled(comp.tape(expected), aL, aR, aO)
     snap = prover.snapshot()
     proof = prover.prove(bp_gens, backend=backend)  # cold
 
     verifier = Verifier(Transcript(b"PoseidonBench"))
-    v_l = AllocatedScalar(verifier.commit(com_l))
-    v_r = AllocatedScalar(verifier.commit(com_r))
-    vstatics = allocate_statics_for_verifier(verifier, 4, pc_gens)
-    Poseidon_hash_2_gadget(
-        verifier, v_l, v_r, vstatics, params, SboxType.Inverse, expected
-    )
+    verifier.commit(com_l)
+    verifier.commit(com_r)
+    allocate_statics_for_verifier(verifier, 4, pc_gens)
+    verifier.load_compiled(comp.tape(expected), comp.num_multipliers)
     verifier.verify(proof, pc_gens, bp_gens, backend=backend)
     total = time.time() - t_all
     log(f"[stage2] cold prove+verify {total:.1f}s (VERIFIED)")
@@ -282,15 +273,9 @@ def stage3_vsmt(depth=None, backend=None):
         Transcript,
         Verifier,
     )
-    from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon import (
-        PoseidonParams,
-        allocate_statics_for_prover,
-        allocate_statics_for_verifier,
-    )
-    from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import AllocatedScalar
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon import PoseidonParams
     from bulletproofs_r1cs_gadgets_tpu.models.vsmt2 import (
         leaf_index_bit_scalars,
-        vanilla_merkle_tree_verif_gadget,
     )
 
     if backend is None:
@@ -306,6 +291,8 @@ def stage3_vsmt(depth=None, backend=None):
     k = Scalar(7)
     merkle_proof = []
     assert tree.get(k, merkle_proof) == k
+    bits = [b.v for b in leaf_index_bit_scalars(k, depth)]
+    nodes = list(reversed(merkle_proof))
 
     # 564 multipliers per level + 4 select multipliers
     padded = 1 << (depth * 568 - 1).bit_length()
@@ -314,30 +301,17 @@ def stage3_vsmt(depth=None, backend=None):
     bp_gens = BulletproofGens(padded)
     log(f"[stage3] gens({padded}) ready in {time.time()-t0:.1f}s")
 
-    def synthesize(cs, leaf, li, pf, statics, root):
-        vanilla_merkle_tree_verif_gadget(
-            cs, depth, root, leaf, li, pf, statics, params,
-            constrain_index_bits=False,  # exact reference circuit
-        )
+    from bulletproofs_r1cs_gadgets_tpu.models.compiled import CompiledVSMT2
 
     t_syn = time.time()
+    comp = CompiledVSMT2(params, depth, constrain_index_bits=False)
+    tape = comp.tape(tree.root)
     prover = Prover(pc_gens, Transcript(b"VSMT"))
-    com_leaf, var_leaf = prover.commit(k, Scalar.random())
-    leaf_alloc = AllocatedScalar(var_leaf, k)
-    li_comms, li_allocs = [], []
-    for b in leaf_index_bit_scalars(k, depth):
-        c, v = prover.commit(b, Scalar.random())
-        li_comms.append(c)
-        li_allocs.append(AllocatedScalar(v, b))
-    pf_comms, pf_allocs = [], []
-    for p in reversed(merkle_proof):
-        c, v = prover.commit(p, Scalar.random())
-        pf_comms.append(c)
-        pf_allocs.append(AllocatedScalar(v, p))
-    statics = allocate_statics_for_prover(prover, 4)
-    synthesize(prover, leaf_alloc, li_allocs, pf_allocs, statics, tree.root)
+    comms = comp.commit_prover(prover, k, bits, nodes)
+    aL, aR, aO = comp.witness(k, bits, nodes)
+    prover.load_compiled(tape, aL, aR, aO)
     log(
-        f"[stage3] synthesis {time.time()-t_syn:.1f}s, "
+        f"[stage3] compiled synthesis {time.time()-t_syn:.1f}s, "
         f"{prover.num_multipliers()} multipliers"
     )
     snap = prover.snapshot()
@@ -348,11 +322,8 @@ def stage3_vsmt(depth=None, backend=None):
 
     t0 = time.time()
     verifier = Verifier(Transcript(b"VSMT"))
-    leaf_alloc = AllocatedScalar(verifier.commit(com_leaf))
-    li = [AllocatedScalar(verifier.commit(c)) for c in li_comms]
-    pf = [AllocatedScalar(verifier.commit(c)) for c in pf_comms]
-    vstatics = allocate_statics_for_verifier(verifier, 4, pc_gens)
-    synthesize(verifier, leaf_alloc, li, pf, vstatics, tree.root)
+    comp.commit_verifier(verifier, comms, pc_gens)
+    verifier.load_compiled(tape, comp.num_multipliers)
     verifier.verify(proof, pc_gens, bp_gens, backend=backend)
     log(f"[stage3] VERIFIED in {time.time()-t0:.1f}s")
 

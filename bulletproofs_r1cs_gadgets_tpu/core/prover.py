@@ -172,10 +172,26 @@ class Prover:
         self.deferred_constraints.append(callback)
 
     def num_constraints(self) -> int:
+        if self._tape_memo is not None and not self.constraints:
+            return self._tape_memo[0]
         return len(self.constraints)
 
     def num_multipliers(self) -> int:
+        if self._wit_memo is not None and not self.a_L:
+            return self._wit_memo[0]
         return len(self.a_L)
+
+    # ----------------------------------------------------- compiled circuits
+    def load_compiled(self, tape, a_L, a_R, a_O) -> None:
+        """Attach a template-compiled tape + witness arrays
+        (:mod:`..models.compiled`) instead of synthesizing gadget-by-gadget.
+        The commitment phase (``commit``) still runs normally beforehand."""
+        assert not self.a_L and not self.constraints, (
+            "load_compiled on a prover with synthesized state"
+        )
+        n = len(a_L)
+        self._tape_memo = (tape.num_constraints, tape)
+        self._wit_memo = (n, a_L, a_R, a_O)
 
     def stats(self) -> CircuitStats:
         return CircuitStats(
@@ -189,7 +205,7 @@ class Prover:
     def _tape_arrays(self) -> TapeArrays:
         """Constraint tape as flat arrays, memoized per constraint count
         (synthesis only appends, so the length keys the cache)."""
-        m = len(self.constraints)
+        m = self.num_constraints()
         if self._tape_memo is None or self._tape_memo[0] != m:
             self._tape_memo = (m, TapeArrays(self.constraints))
         return self._tape_memo[1]
@@ -197,7 +213,7 @@ class Prover:
     def _witness_arrays(self):
         """(a_L, a_R, a_O) as (n, 4) u64 arrays, memoized per multiplier
         count."""
-        n = len(self.a_L)
+        n = self.num_multipliers()
         if self._wit_memo is None or self._wit_memo[0] != n:
             self._wit_memo = (
                 n,
@@ -277,7 +293,7 @@ class Prover:
         B_b = self.pc_gens.B_blinding
 
         # --- phase 1 commitments
-        n1 = len(self.a_L)
+        n1 = self.num_multipliers()
         self.num_phase1_multipliers = n1
         i_blinding1 = self._random_scalar()
         o_blinding1 = self._random_scalar()
@@ -297,12 +313,15 @@ class Prover:
             H1 = gens.H(n1)
             if len(G1) < n1:
                 raise InvalidGeneratorsLength("gens capacity too small")
+            a_Ls = scvec.to_scalars(aL_arr)
+            a_Rs = scvec.to_scalars(aR_arr)
+            a_Os = scvec.to_scalars(aO_arr)
             s_L1 = scvec.to_scalars(sL_arr)
             s_R1 = scvec.to_scalars(sR_arr)
             A_I1 = multiscalar_mul(
-                [i_blinding1] + self.a_L + self.a_R, [B_b] + G1 + H1
+                [i_blinding1] + a_Ls + a_Rs, [B_b] + G1 + H1
             ).compress()
-            A_O1 = multiscalar_mul([o_blinding1] + self.a_O, [B_b] + G1).compress()
+            A_O1 = multiscalar_mul([o_blinding1] + a_Os, [B_b] + G1).compress()
             S1 = multiscalar_mul(
                 [s_blinding1] + s_L1 + s_R1, [B_b] + G1 + H1
             ).compress()
@@ -313,7 +332,7 @@ class Prover:
 
         # --- phase 2 (randomized constraints)
         self._create_randomized_constraints()
-        n = len(self.a_L)
+        n = self.num_multipliers()
         n2 = n - n1
         padded_n = max(1, n)
         if padded_n & (padded_n - 1):

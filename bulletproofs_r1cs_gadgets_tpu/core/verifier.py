@@ -49,6 +49,16 @@ class Verifier:
         self.pending_multiplier: int | None = None
         self.deferred_constraints = []
         self.num_phase1_multipliers = 0
+        self._tape_memo: TapeArrays | None = None
+
+    def load_compiled(self, tape: TapeArrays, num_multipliers: int) -> None:
+        """Attach a template-compiled tape (:mod:`..models.compiled`)
+        instead of re-synthesizing the circuit gadget-by-gadget."""
+        assert self.num_vars == 0 and not self.constraints, (
+            "load_compiled on a verifier with synthesized state"
+        )
+        self._tape_memo = tape
+        self.num_vars = num_multipliers
 
     # ------------------------------------------------------------ commitments
     def commit(self, commitment: bytes) -> Variable:
@@ -106,6 +116,8 @@ class Verifier:
         self.deferred_constraints.append(callback)
 
     def num_constraints(self) -> int:
+        if self._tape_memo is not None and not self.constraints:
+            return self._tape_memo.num_constraints
         return len(self.constraints)
 
     def num_multipliers(self) -> int:
@@ -169,9 +181,11 @@ class Verifier:
         y = t.challenge_scalar(b"y")
         z = t.challenge_scalar(b"z")
 
-        wL, wR, wO, wV, wc = TapeArrays(self.constraints).flatten(
-            z, n, len(self.V), want_wc=True
-        )
+        tape = self._tape_memo
+        if tape is None or tape.num_constraints != self.num_constraints():
+            tape = TapeArrays(self.constraints)
+            self._tape_memo = tape
+        wL, wR, wO, wV, wc = tape.flatten(z, n, len(self.V), want_wc=True)
 
         t.validate_and_append_point(b"T_1", proof.T_1)
         t.validate_and_append_point(b"T_3", proof.T_3)

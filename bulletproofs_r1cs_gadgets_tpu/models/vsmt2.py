@@ -108,6 +108,39 @@ class VanillaSparseMerkleTree:
         return cur_val == target
 
 
+def vsmt_level_gadget(
+    cs,
+    cur: LinearCombination,
+    bit: Variable,
+    node: Variable,
+    statics_lcs: list[LinearCombination],
+    poseidon_params: PoseidonParams,
+    constrain_index_bits: bool,
+) -> LinearCombination:
+    """One tree level: the left/right selection (4 multipliers,
+    ``gadget_vsmt_2.rs:194-200``) followed by the Poseidon-2:1 hash
+    constraints.  Shared by the loop gadget below and the template compiler
+    (:mod:`.compiled`), which stamps this segment ``depth`` times."""
+    one_minus_bit = Variable.One() - bit
+
+    if constrain_index_bits:
+        # soundness fix over the reference: force bit in {0, 1}
+        _, _, bo = cs.multiply(bit.lc(), one_minus_bit)
+        cs.constrain(bo.lc())
+
+    _, _, left_1 = cs.multiply(one_minus_bit, cur)
+    _, _, left_2 = cs.multiply(bit.lc(), node.lc())
+    left = left_1 + left_2
+
+    _, _, right_1 = cs.multiply(bit.lc(), cur)
+    _, _, right_2 = cs.multiply(Variable.One() - bit, node.lc())
+    right = right_1 + right_2
+
+    return Poseidon_hash_2_constraints(
+        cs, left, right, statics_lcs, poseidon_params, SboxType.Inverse
+    )
+
+
 def vanilla_merkle_tree_verif_gadget(
     cs,
     depth: int,
@@ -129,24 +162,14 @@ def vanilla_merkle_tree_verif_gadget(
 
     for i in range(depth):
         cur = leaf_val.variable.lc() if i == 0 else prev_hash
-        bit = leaf_index_bits[i].variable
-        one_minus_bit = Variable.One() - bit
-
-        if constrain_index_bits:
-            # soundness fix over the reference: force bit in {0, 1}
-            _, _, bo = cs.multiply(bit.lc(), one_minus_bit)
-            cs.constrain(bo.lc())
-
-        _, _, left_1 = cs.multiply(one_minus_bit, cur)
-        _, _, left_2 = cs.multiply(bit.lc(), proof_nodes[i].variable.lc())
-        left = left_1 + left_2
-
-        _, _, right_1 = cs.multiply(bit.lc(), cur)
-        _, _, right_2 = cs.multiply(Variable.One() - bit, proof_nodes[i].variable.lc())
-        right = right_1 + right_2
-
-        prev_hash = Poseidon_hash_2_constraints(
-            cs, left, right, statics_lcs, poseidon_params, SboxType.Inverse
+        prev_hash = vsmt_level_gadget(
+            cs,
+            cur,
+            leaf_index_bits[i].variable,
+            proof_nodes[i].variable,
+            statics_lcs,
+            poseidon_params,
+            constrain_index_bits,
         )
 
     constrain_lc_with_scalar(cs, prev_hash, root)

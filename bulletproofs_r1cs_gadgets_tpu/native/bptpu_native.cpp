@@ -409,6 +409,106 @@ void poseidon_permutation(const u64* state_in, u64* state_out, int width,
   for (int i = 0; i < width; ++i) memcpy(state_out + 4 * i, st[i], 32);
 }
 
+// Witness-recording permutation: like poseidon_permutation but also emits,
+// per S-box application (round-major, lane-minor order), the value fed to
+// the S-box (after key add) and the S-box output.  These are exactly the
+// multiplier wire values of the circuit dual (gadget_poseidon.rs:141-185):
+// inverse S-box multipliers are (u, u^-1, 1), (u, 0, 0), (u, u^-1, 1);
+// cube S-box multipliers are (u, u, u^2), (u^2, u, u^3).
+static void poseidon_permutation_record(const u64* state_in, u64* state_out,
+                                        int width, const u64* round_keys,
+                                        const u64* mds, int full_b,
+                                        int partial, int full_e,
+                                        int sbox_type, u64* sbox_uv) {
+  u64 st[16][4];
+  for (int i = 0; i < width; ++i) memcpy(st[i], state_in + 4 * i, 32);
+  int off = 0;
+  int total = full_b + partial + full_e;
+  u64 tmp[16][4];
+  i64 rec = 0;
+  for (int r = 0; r < total; ++r) {
+    bool full = (r < full_b) || (r >= full_b + partial);
+    for (int i = 0; i < width; ++i) {
+      sc_add(st[i], round_keys + 4 * (off + i), st[i]);
+    }
+    off += width;
+    for (int i = 0; i < width; ++i) {
+      bool apply = full || (i == width - 1);
+      if (!apply) continue;
+      memcpy(sbox_uv + 8 * rec, st[i], 32);  // u
+      if (sbox_type == 0) {
+        u64 sq[4];
+        sc_mul(st[i], st[i], sq);
+        sc_mul(sq, st[i], st[i]);
+      } else {
+        sc_inv(st[i], st[i]);
+      }
+      memcpy(sbox_uv + 8 * rec + 4, st[i], 32);  // sbox output
+      ++rec;
+    }
+    for (int i = 0; i < width; ++i) {
+      u64 acc[4] = {0, 0, 0, 0};
+      for (int j = 0; j < width; ++j) {
+        u64 prod[4];
+        sc_mul(mds + 4 * (i * width + j), st[j], prod);
+        sc_add(acc, prod, acc);
+      }
+      memcpy(tmp[i], acc, 32);
+    }
+    for (int i = 0; i < width; ++i) memcpy(st[i], tmp[i], 32);
+  }
+  for (int i = 0; i < width; ++i) memcpy(state_out + 4 * i, st[i], 32);
+}
+
+// VSMT-2 witness chain (SURVEY CS-2): starting from the leaf, per level
+// select left/right from the index bit and hash [0, l, r, PAD, 0, 0].
+// Inputs: leaf, bits (depth scalars in {0,1}, LSB first), nodes (depth
+// proof nodes, leaf level first).  Outputs:
+//   cur_chain: (depth+1, 4)  running hash values (cur_chain[0] = leaf)
+//   sbox_uv:   (depth, nsbox, 2, 4)  per-level S-box (u, out) pairs
+// The select multiplier wires derive from cur_chain/bits/nodes in numpy.
+void vsmt2_chain_witness(const u64* leaf, const u64* bits, const u64* nodes,
+                         i64 depth, int width, const u64* round_keys,
+                         const u64* mds, int full_b, int partial, int full_e,
+                         int sbox_type, const u64* pad_const, u64* cur_chain,
+                         u64* sbox_uv) {
+  int nsbox = (full_b + full_e) * width + partial;
+  u64 cur[4];
+  memcpy(cur, leaf, 32);
+  memcpy(cur_chain, leaf, 32);
+  for (i64 lvl = 0; lvl < depth; ++lvl) {
+    const u64* node = nodes + 4 * lvl;
+    bool b = bits[4 * lvl] != 0;
+    u64 state[6 * 4];
+    memset(state, 0, sizeof(state));
+    // [0, left, right, PAD, 0, 0]
+    if (b) {
+      memcpy(state + 4 * 1, node, 32);  // left = node
+      memcpy(state + 4 * 2, cur, 32);   // right = cur
+    } else {
+      memcpy(state + 4 * 1, cur, 32);
+      memcpy(state + 4 * 2, node, 32);
+    }
+    memcpy(state + 4 * 3, pad_const, 32);
+    u64 out_state[6 * 4];
+    poseidon_permutation_record(state, out_state, width, round_keys, mds,
+                                full_b, partial, full_e, sbox_type,
+                                sbox_uv + (i64)8 * nsbox * lvl);
+    memcpy(cur, out_state + 4 * 1, 32);
+    memcpy(cur_chain + 4 * (lvl + 1), cur, 32);
+  }
+}
+
+// Single-permutation witness recording entry (used by the compiled
+// Poseidon-hash circuits; states/outputs as in poseidon_permutation).
+void poseidon_permutation_witness(const u64* state_in, u64* state_out,
+                                  int width, const u64* round_keys,
+                                  const u64* mds, int full_b, int partial,
+                                  int full_e, int sbox_type, u64* sbox_uv) {
+  poseidon_permutation_record(state_in, state_out, width, round_keys, mds,
+                              full_b, partial, full_e, sbox_type, sbox_uv);
+}
+
 // Batched permutation: n independent states (for bulk tree verification).
 void poseidon_permutation_batch(const u64* states_in, u64* states_out, int n,
                                 int width, const u64* round_keys,

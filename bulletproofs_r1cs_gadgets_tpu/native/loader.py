@@ -52,6 +52,15 @@ class _Native:
         lib.sc_vec_from_wide.argtypes = [ctypes.c_char_p, u64p, i64]
         lib.sc_vec_batch_inv.argtypes = [u64p, u64p, i64]
         lib.sc_flatten.argtypes = [u64p, u64p, i64p, i64p, i64, u64p]
+        lib.vsmt2_chain_witness.argtypes = [
+            u64p, u64p, u64p, i64, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u64p, u64p, u64p,
+        ]
+        lib.poseidon_permutation_witness.argtypes = [
+            u64p, u64p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u64p,
+        ]
 
     def keccak_f1600(self, state: bytearray) -> None:
         buf = (ctypes.c_char * 200).from_buffer(state)
