@@ -84,15 +84,30 @@ def _chain_label(prefix: bytes, party: int) -> bytes:
     return prefix + int(party).to_bytes(4, "little")
 
 
-def _derive_chain(label: bytes, n: int) -> list[RistrettoPoint]:
-    """Derive n chain points, preferring the batched device path + disk cache."""
+def _derive_chain(label: bytes, n: int) -> np.ndarray:
+    """Derive n chain points as a (n, 4, 16) uint16 coordinate array,
+    preferring the batched device path + disk cache.  Python point objects
+    are materialized lazily by the callers that need them."""
     # v2: cache invalidated when SQRT_AD_MINUS_ONE switched to dalek's odd
     # root (every Elligator-derived point changed; see utils/constants.py)
     key = f"{label.hex()}_{n}"
     cache_file = os.path.join(_CACHE_DIR, f"gens_v2_{key}.npy")
     if os.path.exists(cache_file):
-        arr = np.load(cache_file, allow_pickle=False)
-        return _points_from_array(arr)
+        return np.load(cache_file, allow_pickle=False)
+    # a larger cached chain for the same label is a superset (XOF prefix):
+    # slice it instead of re-deriving
+    try:
+        prefix = f"gens_v2_{label.hex()}_"
+        for fname in os.listdir(_CACHE_DIR):
+            if fname.startswith(prefix) and fname.endswith(".npy"):
+                m = int(fname[len(prefix) : -4])
+                if m >= n:
+                    arr = np.load(
+                        os.path.join(_CACHE_DIR, fname), allow_pickle=False
+                    )
+                    return arr[:n]
+    except (OSError, ValueError):
+        pass
     chain = GeneratorsChain(label)
     if n > 4096:
         try:
@@ -104,12 +119,13 @@ def _derive_chain(label: bytes, n: int) -> list[RistrettoPoint]:
             pts = chain.take(n)
     else:
         pts = chain.take(n)
+    arr = _points_to_array(pts)
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        np.save(cache_file, _points_to_array(pts))
+        np.save(cache_file, arr)
     except OSError:
         pass
-    return pts
+    return arr
 
 
 def _points_to_array(pts: list[RistrettoPoint]) -> np.ndarray:
@@ -122,35 +138,91 @@ def _points_to_array(pts: list[RistrettoPoint]) -> np.ndarray:
 
 
 def _points_from_array(arr: np.ndarray) -> list[RistrettoPoint]:
+    # bulk bytes -> per-coordinate ints (the per-limb Python loop was ~10x
+    # slower); objects are only built for host-path consumers
+    n = arr.shape[0]
+    buf = np.ascontiguousarray(arr, dtype="<u2").tobytes()
     out = []
-    for row in arr:
-        coords = []
-        for j in range(4):
-            c = 0
-            for k in range(15, -1, -1):
-                c = (c << 16) | int(row[j, k])
-            coords.append(c)
-        out.append(RistrettoPoint(*coords))
+    for i in range(n):
+        base = 128 * i
+        out.append(
+            RistrettoPoint(
+                int.from_bytes(buf[base : base + 32], "little"),
+                int.from_bytes(buf[base + 32 : base + 64], "little"),
+                int.from_bytes(buf[base + 64 : base + 96], "little"),
+                int.from_bytes(buf[base + 96 : base + 128], "little"),
+            )
+        )
+    return out
+
+
+def _u16_to_limbs_i32(arr: np.ndarray) -> np.ndarray:
+    """(n, 4, 16) u16 coordinate array -> (n, 4, 23) int32 12-bit limbs
+    (the TPU kernels' field layout), fully vectorized."""
+    n = arr.shape[0]
+    b = np.ascontiguousarray(arr, dtype="<u2").view(np.uint8)  # (n, 4, 32)
+    w = np.concatenate(
+        [b, np.zeros((n, 4, 4), dtype=np.uint8)], axis=-1
+    ).astype(np.int32)
+    out = np.empty((n, 4, 23), dtype=np.int32)
+    for i in range(23):
+        bit = 12 * i
+        byte, r = divmod(bit, 8)
+        val = w[..., byte] | (w[..., byte + 1] << 8) | (w[..., byte + 2] << 16)
+        out[..., i] = (val >> r) & 0xFFF
     return out
 
 
 class BulletproofGens:
-    """Generator vectors for the R1CS/IPP engine (dalek layout)."""
+    """Generator vectors for the R1CS/IPP engine (dalek layout).
+
+    Coordinates are held as (n, 4, 16) uint16 numpy arrays; Python point
+    objects (host MSM paths) and TPU limb arrays (device upload paths) are
+    materialized lazily and memoized.
+    """
 
     def __init__(self, gens_capacity: int, party_capacity: int = 1):
         self.gens_capacity = gens_capacity
         self.party_capacity = party_capacity
-        self.G_vec: list[list[RistrettoPoint]] = []
-        self.H_vec: list[list[RistrettoPoint]] = []
+        self.G_arr: list[np.ndarray] = []
+        self.H_arr: list[np.ndarray] = []
         for j in range(party_capacity):
-            self.G_vec.append(_derive_chain(_chain_label(b"G", j), gens_capacity))
-            self.H_vec.append(_derive_chain(_chain_label(b"H", j), gens_capacity))
+            self.G_arr.append(_derive_chain(_chain_label(b"G", j), gens_capacity))
+            self.H_arr.append(_derive_chain(_chain_label(b"H", j), gens_capacity))
+        self._obj_cache: dict = {}
+        self._limb_cache: dict = {}
+
+    def _objs(self, which: str, party: int) -> list[RistrettoPoint]:
+        key = (which, party)
+        hit = self._obj_cache.get(key)
+        if hit is None:
+            arr = (self.G_arr if which == "G" else self.H_arr)[party]
+            hit = _points_from_array(arr)
+            self._obj_cache[key] = hit
+        return hit
 
     def G(self, n: int, party: int = 0) -> list[RistrettoPoint]:
-        return self.G_vec[party][:n]
+        return self._objs("G", party)[:n]
 
     def H(self, n: int, party: int = 0) -> list[RistrettoPoint]:
-        return self.H_vec[party][:n]
+        return self._objs("H", party)[:n]
+
+    def G_limbs(self, n: int, party: int = 0) -> np.ndarray:
+        """(n, 4, 23) int32 12-bit-limb array (device-upload layout)."""
+        key = ("G", party)
+        hit = self._limb_cache.get(key)
+        if hit is None:
+            hit = _u16_to_limbs_i32(self.G_arr[party])
+            self._limb_cache[key] = hit
+        return hit[:n]
+
+    def H_limbs(self, n: int, party: int = 0) -> np.ndarray:
+        key = ("H", party)
+        hit = self._limb_cache.get(key)
+        if hit is None:
+            hit = _u16_to_limbs_i32(self.H_arr[party])
+            self._limb_cache[key] = hit
+        return hit[:n]
 
     def share(self, party: int):
         return _BulletproofGensShare(self, party)
@@ -166,6 +238,12 @@ class _BulletproofGensShare:
 
     def H(self, n: int):
         return self._gens.H(n, self._share)
+
+    def G_limbs(self, n: int):
+        return self._gens.G_limbs(n, self._share)
+
+    def H_limbs(self, n: int):
+        return self._gens.H_limbs(n, self._share)
 
 
 _DEFAULT_PC_GENS = PedersenGens()

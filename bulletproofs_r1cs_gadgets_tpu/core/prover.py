@@ -476,11 +476,8 @@ class Prover:
 
         t.innerproduct_domain_sep(padded_n)
         if backend is not None:
-            if hasattr(backend, "stage_ipp_gens"):
-                backend.stage_ipp_gens(gens, padded_n)
             ipp = backend.ipp_create(
-                t, Q, G_factors, H_factors,
-                gens.G(padded_n), gens.H(padded_n), l_vec, r_vec,
+                t, Q, G_factors, H_factors, gens, padded_n, l_vec, r_vec,
             )
         else:
             from .ipp import _skip_domain_sep

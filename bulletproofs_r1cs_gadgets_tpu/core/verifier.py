@@ -271,7 +271,7 @@ class Verifier:
         )
 
         try:
-            points = (
+            head_points = (
                 [
                     _decompress_allow_identity(proof.A_I1),
                     _decompress_allow_identity(proof.A_O1),
@@ -289,18 +289,26 @@ class Verifier:
                     RistrettoPoint.decompress(proof.T_6),
                 ]
                 + [pc_gens.B, pc_gens.B_blinding]
-                + bp_gens.share(0).G(padded_n)
-                + bp_gens.share(0).H(padded_n)
-                + [RistrettoPoint.decompress(L) for L in proof.ipp_proof.L_vec]
-                + [RistrettoPoint.decompress(R) for R in proof.ipp_proof.R_vec]
             )
+            tail_points = [
+                RistrettoPoint.decompress(L) for L in proof.ipp_proof.L_vec
+            ] + [RistrettoPoint.decompress(R) for R in proof.ipp_proof.R_vec]
         except ValueError as e:
             raise VerificationError(f"invalid point encoding: {e}")
 
-        if backend is not None:
-            mega = backend.msm(scalars_arr, points)
+        gens = bp_gens.share(0)
+        if backend is not None and hasattr(backend, "msm_gens"):
+            mega = backend.msm_gens(
+                scalars_arr, head_points, gens, padded_n, tail_points
+            )
         else:
-            mega = multiscalar_mul(scvec.to_scalars(scalars_arr), points)
+            points = (
+                head_points + gens.G(padded_n) + gens.H(padded_n) + tail_points
+            )
+            if backend is not None:
+                mega = backend.msm(scalars_arr, points)
+            else:
+                mega = multiscalar_mul(scvec.to_scalars(scalars_arr), points)
         if not mega.is_identity():
             raise VerificationError("R1CS proof verification failed")
 

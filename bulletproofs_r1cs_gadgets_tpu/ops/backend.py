@@ -92,8 +92,11 @@ class DeviceBackend:
         key = (id(gens_share._gens), which)
         cached = self._gens_cache.get(key)
         if cached is None or cached.shape[0] < n:
-            pts = gens_share.G(n) if which == "G" else gens_share.H(n)
-            cached = points_to_device(pts)
+            limbs = (
+                gens_share.G_limbs(n) if which == "G"
+                else gens_share.H_limbs(n)
+            )
+            cached = jnp.asarray(limbs)
             self._gens_cache[key] = cached
         return cached[:n]
 
@@ -112,6 +115,36 @@ class DeviceBackend:
             return multiscalar_mul(scalars, points)
         dev = points_to_device(points)
         return points_from_device(msm_device([s.v for s in scalars], dev))[0]
+
+    def msm_gens(
+        self, scalars, head_points, gens_share, padded_n, tail_points
+    ) -> RistrettoPoint:
+        """Verifier mega-MSM with the generator segment read from the
+        device cache (see PallasBackend.msm_gens)."""
+        nh, nt = len(head_points), len(tail_points)
+        total = nh + 2 * padded_n + nt
+        if total < self.min_device_n:
+            pts = (
+                head_points
+                + gens_share.G(padded_n)
+                + gens_share.H(padded_n)
+                + tail_points
+            )
+            if isinstance(scalars, np.ndarray):
+                scalars = scvec.to_scalars(scalars)
+            from ..core.ristretto import multiscalar_mul
+
+            return multiscalar_mul(scalars, pts)
+        dev = jnp.concatenate(
+            [
+                points_to_device(head_points),
+                self._gens_device(gens_share, padded_n, "G"),
+                self._gens_device(gens_share, padded_n, "H"),
+                points_to_device(tail_points),
+            ],
+            axis=0,
+        )
+        return points_from_device(msm_device(scalars, dev))[0]
 
     # -------------------------------------------------- prover commitments
     def phase_commitments(
@@ -159,7 +192,7 @@ class DeviceBackend:
 
     # ------------------------------------------------------------------ IPP
     def ipp_create(
-        self, transcript, Q, G_factors, H_factors, G, H, a, b
+        self, transcript, Q, G_factors, H_factors, gens_share, padded_n, a, b
     ) -> InnerProductProof:
         # accept (n, 4) u64 arrays or Scalar lists; this backend is the
         # CPU-testable oracle, so it normalizes to lists and keeps the
@@ -169,14 +202,15 @@ class DeviceBackend:
             H_factors = scvec.to_scalars(H_factors)
             a = scvec.to_scalars(a)
             b = scvec.to_scalars(b)
-        n = len(G)
+        n = padded_n
         if n < self.min_device_n:
             return InnerProductProof.create(
-                _skip_domain_sep(transcript), Q, G_factors, H_factors, G, H, a, b
+                _skip_domain_sep(transcript), Q, G_factors, H_factors,
+                gens_share.G(n), gens_share.H(n), a, b,
             )
 
-        G_dev = points_to_device(G)
-        H_dev = points_to_device(H)
+        G_dev = self._gens_device(gens_share, n, "G")
+        H_dev = self._gens_device(gens_share, n, "H")
         Q_dev = points_to_device([Q])
         a = list(a)
         b = list(b)

@@ -179,14 +179,63 @@ class PallasBackend:
             _as_array(scalars), rows, _pad8(len(points))
         )
 
+    def msm_gens(
+        self, scalars, head_points, gens_share, padded_n, tail_points
+    ) -> RistrettoPoint:
+        """Verifier mega-MSM over [head, G(padded_n), H(padded_n), tail]:
+        the generator segment comes from the per-gens upload cache instead
+        of host point objects (the dominant verify-side host cost)."""
+        nh, nt = len(head_points), len(tail_points)
+        total = nh + 2 * padded_n + nt
+        if total < self.min_device_n:
+            pts = (
+                head_points
+                + gens_share.G(padded_n)
+                + gens_share.H(padded_n)
+                + tail_points
+            )
+            return multiscalar_mul(scvec.to_scalars(_as_array(scalars)), pts)
+        G_rows, _ = self._gens_rows(gens_share, padded_n, "G")
+        H_rows, _ = self._gens_rows(gens_share, padded_n, "H")
+        head_flat = pcurve.points_to_rows(
+            _padded_points_dev(head_points)
+        ).reshape(pcurve.ROWS, -1)[:, :nh]
+        tail_flat = pcurve.points_to_rows(
+            _padded_points_dev(tail_points)
+        ).reshape(pcurve.ROWS, -1)[:, :nt]
+        flat = jnp.concatenate(
+            [
+                head_flat,
+                G_rows.reshape(pcurve.ROWS, -1)[:, :padded_n],
+                H_rows.reshape(pcurve.ROWS, -1)[:, :padded_n],
+                tail_flat,
+            ],
+            axis=1,
+        )
+        mp = _pad8(total)
+        flat = jnp.concatenate(
+            [flat, pcurve._ident_flat(mp - total)], axis=1
+        ).reshape(pcurve.ROWS, pcurve.SUB, mp // pcurve.SUB)
+        return self._msm_to_point(_as_array(scalars), flat, total)
+
     # -------------------------------------------------- generator caching
     def _gens_rows(self, gens_share, n: int, which: str):
         key = (id(gens_share._gens), which)
         cached = self._gens_cache.get(key)
         npts = _pad8(n)
         if cached is None or cached[1] < npts:
-            pts = gens_share.G(n) if which == "G" else gens_share.H(n)
-            rows = pcurve.points_to_rows(_padded_points_dev(pts))
+            # limb arrays come straight from the gens cache (no Python
+            # point objects on this path)
+            limbs = (
+                gens_share.G_limbs(n) if which == "G"
+                else gens_share.H_limbs(n)
+            )
+            if npts != n:
+                ident = np.zeros((npts - n, 4, limbs.shape[-1]), np.int32)
+                ident[:, 1, 0] = 1
+                ident[:, 2, 0] = 1
+                limbs = np.concatenate([limbs, ident])
+            rows = pcurve.points_to_rows(jnp.asarray(limbs))
             self._gens_cache[key] = (rows, npts)
             return rows, npts
         return cached
@@ -250,30 +299,19 @@ class PallasBackend:
         return A_I.compress(), A_O.compress(), S.compress()
 
     # ------------------------------------------------------------------ IPP
-    def stage_ipp_gens(self, gens_share, padded_n: int) -> None:
-        """Pre-stage the generator device arrays for the next ipp_create
-        (reuses the per-gens upload cache instead of re-converting the host
-        point lists - the conversion used to dominate warm proving)."""
-        G_rows, _ = self._gens_rows(gens_share, padded_n, "G")
-        H_rows, _ = self._gens_rows(gens_share, padded_n, "H")
-        self._staged_ipp = (
-            padded_n,
-            G_rows.reshape(pcurve.ROWS, -1)[:, :padded_n],
-            H_rows.reshape(pcurve.ROWS, -1)[:, :padded_n],
-        )
-
     def ipp_create(
-        self, transcript, Q, G_factors, H_factors, G, H, a, b
+        self, transcript, Q, G_factors, H_factors, gens_share, padded_n, a, b
     ) -> InnerProductProof:
         """Caller has already appended the ``ipp v1`` domain separator;
-        G_factors/H_factors/a/b are (n, 4) u64 arrays."""
-        n = len(G)
+        G_factors/H_factors/a/b are (n, 4) u64 arrays; generators are read
+        from the per-gens upload cache (no host point objects)."""
+        n = padded_n
         if n < self.min_device_n:
             return InnerProductProof.create(
                 _skip_domain_sep(transcript), Q,
                 scvec.to_scalars(_as_array(G_factors)),
                 scvec.to_scalars(_as_array(H_factors)),
-                G, H,
+                gens_share.G(n), gens_share.H(n),
                 scvec.to_scalars(_as_array(a)),
                 scvec.to_scalars(_as_array(b)),
             )
@@ -283,17 +321,10 @@ class PallasBackend:
         H_factors = _as_array(H_factors)
         a = _as_array(a)
         b = _as_array(b)
-        staged = getattr(self, "_staged_ipp", None)
-        if staged is not None and staged[0] == n:
-            _, G_flat, H_flat = staged
-            self._staged_ipp = None
-        else:
-            G_flat = pcurve.points_to_rows(
-                _padded_points_dev(G)
-            ).reshape(pcurve.ROWS, -1)[:, :n]
-            H_flat = pcurve.points_to_rows(
-                _padded_points_dev(H)
-            ).reshape(pcurve.ROWS, -1)[:, :n]
+        G_rows, _ = self._gens_rows(gens_share, n, "G")
+        H_rows, _ = self._gens_rows(gens_share, n, "H")
+        G_flat = G_rows.reshape(pcurve.ROWS, -1)[:, :n]
+        H_flat = H_rows.reshape(pcurve.ROWS, -1)[:, :n]
         Q_flat = pcurve.points_to_rows(
             _padded_points_dev([Q] * 8)
         ).reshape(pcurve.ROWS, -1)[:, :1]
