@@ -50,6 +50,7 @@ def gen_proof_of_bounded_num(
     pc_gens,
     bp_gens,
     rng=None,
+    backend=None,
 ):
     a = val - lower
     b = upper - val
@@ -74,7 +75,7 @@ def gen_proof_of_bounded_num(
         lower,
         max_bits_in_val,
     )
-    proof = prover.prove(bp_gens)
+    proof = prover.prove(bp_gens, backend=backend)
     return proof, comms
 
 
@@ -87,6 +88,7 @@ def verify_proof_of_bounded_num(
     transcript_label: bytes,
     pc_gens,
     bp_gens,
+    backend=None,
 ) -> None:
     verifier = Verifier(Transcript(transcript_label))
     var_v = verifier.commit(commitments[0])
@@ -101,7 +103,7 @@ def verify_proof_of_bounded_num(
         lower,
         max_bits_in_val,
     )
-    verifier.verify(proof, pc_gens, bp_gens)
+    verifier.verify(proof, pc_gens, bp_gens, backend=backend)
 
 
 def count_bits(number: int) -> int:

@@ -100,6 +100,11 @@ class DeviceBackend:
             self._gens_cache[key] = cached
         return cached[:n]
 
+    def _msm_dev(self, scalars, dev: jnp.ndarray) -> jnp.ndarray:
+        """Device MSM hook; ShardedMsmBackend overrides this to partition
+        the point axis over a mesh (parallel/sharded_backend.py)."""
+        return msm_device(scalars, dev)
+
     def msm(self, scalars, points: list[RistrettoPoint]) -> RistrettoPoint:
         if isinstance(scalars, np.ndarray):
             if len(scalars) < self.min_device_n:
@@ -107,14 +112,14 @@ class DeviceBackend:
 
                 return multiscalar_mul(scvec.to_scalars(scalars), points)
             return points_from_device(
-                msm_device(scalars, points_to_device(points))
+                self._msm_dev(scalars, points_to_device(points))
             )[0]
         if len(scalars) < self.min_device_n:
             from ..core.ristretto import multiscalar_mul
 
             return multiscalar_mul(scalars, points)
         dev = points_to_device(points)
-        return points_from_device(msm_device([s.v for s in scalars], dev))[0]
+        return points_from_device(self._msm_dev([s.v for s in scalars], dev))[0]
 
     def msm_gens(
         self, scalars, head_points, gens_share, padded_n, tail_points
@@ -144,7 +149,7 @@ class DeviceBackend:
             ],
             axis=0,
         )
-        return points_from_device(msm_device(scalars, dev))[0]
+        return points_from_device(self._msm_dev(scalars, dev))[0]
 
     # -------------------------------------------------- prover commitments
     def phase_commitments(
@@ -177,14 +182,14 @@ class DeviceBackend:
         H_dev = self._gens_device(gens_share, offset + n, "H")[offset:]
         B_dev = points_to_device([B_blinding])
         GH = jnp.concatenate([B_dev, G_dev, H_dev], axis=0)
-        A_I = msm_device(
+        A_I = self._msm_dev(
             [i_blinding.v] + [s.v for s in a_L] + [s.v for s in a_R], GH
         )
-        A_O = msm_device(
+        A_O = self._msm_dev(
             [o_blinding.v] + [s.v for s in a_O],
             jnp.concatenate([B_dev, G_dev], axis=0),
         )
-        S = msm_device(
+        S = self._msm_dev(
             [s_blinding.v] + [s.v for s in s_L] + [s.v for s in s_R], GH
         )
         pts = points_from_device(jnp.stack([A_I, A_O, S], axis=0))
@@ -239,8 +244,8 @@ class DeviceBackend:
                 sc_R = [s.v for s in a_R] + [s.v for s in b_L] + [c_R.v]
             pts_L = jnp.concatenate([G_dev[n:], H_dev[:n], Q_dev], axis=0)
             pts_R = jnp.concatenate([G_dev[:n], H_dev[n:], Q_dev], axis=0)
-            L_pt = msm_device(sc_L, pts_L)
-            R_pt = msm_device(sc_R, pts_R)
+            L_pt = self._msm_dev(sc_L, pts_L)
+            R_pt = self._msm_dev(sc_R, pts_R)
             L_c, R_c = (
                 p.compress() for p in points_from_device(jnp.stack([L_pt, R_pt]))
             )

@@ -1,0 +1,268 @@
+"""Fixed-shape chunked dispatch for the Pallas MSM/fold kernels.
+
+Why this exists (measured, see PERF_NOTES.md): on the remote-compile TPU
+backend every NEW kernel shape costs ~70 s of Mosaic compile and every
+host<->device sync costs ~55-60 ms.  The round-1 backend dispatched each
+MSM at its natural size, so the prover's 18 inner-product rounds plus the
+phase-1/verifier MSMs compiled ~25 distinct shapes (~15 min of cold-start
+compile per process).
+
+This layer fixes the kernel working set to exactly TWO compiled shapes:
+
+* ``msm_chunk_acc`` - a 2048-point block-reduced ladder chained through an
+  accumulator argument; an MSM of any size is a Python loop of these with
+  ONE final fetch (dispatches are queued asynchronously by JAX, so the
+  device runs back-to-back; per-chunk marginal cost ~12 ms).
+* ``fold_chunk`` - the IPP generator fold at the same 2048-lane shape.
+
+Vectors of points live as **chunk lists**: ``list[(92, 8, 256) int32]``,
+2048 points per chunk in the stacked-limb layout of
+:mod:`.pallas_curve`.  Slicing at chunk granularity is Python list
+slicing - no device reshapes/concats (which would themselves compile
+per-shape on this backend).  Sub-chunk addressing for the IPP tail rounds
+(n < 2048) uses ``lax.dynamic_slice`` with a *traced* lane offset, so the
+helpers compile once and serve every tail size.
+
+Scalars arrive as ``(m, 4) uint64`` arrays (:mod:`..core.scvec`); the
+packed 32-bit ladder words are zero-copy views chunked host-side, and a
+zero word-chunk contributes the identity - all padding is free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import scvec
+from ..core.ristretto import RistrettoPoint
+from ..utils.constants import P
+from .field import STORE, limbs_to_int
+from . import pallas_curve as pc
+
+CHUNK = pc.BLOCK_PTS  # 2048 points
+ROWS = pc.ROWS  # 92
+
+
+# ----------------------------------------------------------- chunk builders
+def _ident_limbs(n: int) -> np.ndarray:
+    out = np.zeros((n, 4, STORE), dtype=np.int32)
+    out[:, 1, 0] = 1
+    out[:, 2, 0] = 1
+    return out
+
+
+def _flat_np(limbs: np.ndarray) -> np.ndarray:
+    """(n, 4, STORE) -> (92, n) point-flat layout (numpy)."""
+    n = limbs.shape[0]
+    return np.ascontiguousarray(limbs.reshape(n, ROWS).T)
+
+
+def limbs_to_chunks(limbs: np.ndarray) -> list[jnp.ndarray]:
+    """(n, 4, STORE) int32 numpy -> identity-padded chunk list on device."""
+    n = limbs.shape[0]
+    k = max(1, -(-n // CHUNK))
+    if n < k * CHUNK:
+        limbs = np.concatenate([limbs, _ident_limbs(k * CHUNK - n)])
+    flat = _flat_np(limbs)
+    return [
+        jnp.asarray(
+            flat[:, c * CHUNK : (c + 1) * CHUNK].reshape(
+                ROWS, pc.SUB, pc.LAN_BLOCK
+            )
+        )
+        for c in range(k)
+    ]
+
+
+def points_to_chunks(points: list[RistrettoPoint]) -> list[jnp.ndarray]:
+    from .curve import _ints_to_limbs_vec
+
+    coords = []
+    for pt in points:
+        coords.extend((pt.X, pt.Y, pt.Z, pt.T))
+    limbs = _ints_to_limbs_vec(coords).reshape(len(points), 4, STORE)
+    return limbs_to_chunks(limbs)
+
+
+def broadcast_chunk(point: RistrettoPoint) -> jnp.ndarray:
+    """One chunk with `point` in EVERY lane (for tail-round packing)."""
+    from .curve import _ints_to_limbs_vec
+
+    limbs = _ints_to_limbs_vec([point.X, point.Y, point.Z, point.T])
+    col = limbs.reshape(ROWS, 1)
+    return jnp.asarray(
+        np.broadcast_to(col, (ROWS, CHUNK)).reshape(
+            ROWS, pc.SUB, pc.LAN_BLOCK
+        )
+    )
+
+
+_IDENT_CHUNK_NP = _flat_np(_ident_limbs(CHUNK)).reshape(
+    ROWS, pc.SUB, pc.LAN_BLOCK
+)
+_ident_chunk_dev = None
+
+
+def ident_chunk() -> jnp.ndarray:
+    global _ident_chunk_dev
+    if _ident_chunk_dev is None:
+        _ident_chunk_dev = jnp.asarray(_IDENT_CHUNK_NP)
+    return _ident_chunk_dev
+
+
+# ------------------------------------------------------------- word chunks
+def words_chunks(arr: np.ndarray, nchunks: int | None = None,
+                 offset_chunks: int = 0) -> list[np.ndarray]:
+    """(m, 4) u64 scalar array -> list of (8, 8, 256) int32 word chunks,
+    zero-padded to `nchunks` (zero words select the identity in the
+    ladder, so padding costs nothing)."""
+    m = arr.shape[0]
+    k = nchunks if nchunks is not None else max(1, -(-m // CHUNK))
+    w = scvec.words_u32(arr).view(np.int32)  # (m, 8)
+    if m < k * CHUNK:
+        w = np.concatenate([w, np.zeros((k * CHUNK - m, 8), np.int32)])
+    out = []
+    for c in range(offset_chunks, k):
+        blk = w[c * CHUNK : (c + 1) * CHUNK]  # (2048, 8)
+        out.append(
+            np.ascontiguousarray(blk.T).reshape(8, pc.SUB, pc.LAN_BLOCK)
+        )
+    return out
+
+
+def segment_words(segments) -> list[np.ndarray]:
+    """Build word chunks for a chunk-list of point segments: `segments` is
+    a list of (scalar_array (m,4) u64, n_chunks) pairs; each segment is
+    zero-padded to its own chunk boundary (matching how the point chunk
+    lists concatenate)."""
+    out = []
+    for arr, k in segments:
+        out.extend(words_chunks(arr, k))
+    return out
+
+
+_ZERO_WORDS = np.zeros((8, pc.SUB, pc.LAN_BLOCK), np.int32)
+
+
+def single_scalar_words(s) -> np.ndarray:
+    """Word chunk with scalar `s` at lane 0 and zeros elsewhere."""
+    row = scvec.scalar_to_row(s)[None]  # (1, 4) u64
+    return words_chunks(row, 1)[0]
+
+
+def const_words(s, n: int) -> np.ndarray:
+    """Word chunk with scalar `s` in lanes [0, n) and zeros beyond."""
+    arr = np.tile(scvec.scalar_to_row(s), (n, 1))
+    return words_chunks(arr, 1)[0]
+
+
+# --------------------------------------------------------------- MSM chain
+def msm_chain(pts_chunks, word_chunks, acc=None) -> jnp.ndarray:
+    """Chained MSM over aligned chunk lists; returns the device accumulator
+    (position-uniform).  No host sync - fetch with :func:`fetch_points`."""
+    if acc is None:
+        acc = ident_chunk()
+    for p, w in zip(pts_chunks, word_chunks, strict=True):
+        acc = pc.msm_chunk_acc(p, w, acc)
+    return acc
+
+
+@jax.jit
+def _acc_lane0(acc: jnp.ndarray) -> jnp.ndarray:
+    return acc[:, 0, 0]  # (92,)
+
+
+def fetch_points(accs: list[jnp.ndarray]) -> list[RistrettoPoint]:
+    """ONE host sync for a handful of accumulators."""
+    if len(accs) == 1:
+        rows = np.asarray(_acc_lane0(accs[0]))[None]
+    else:
+        rows = np.asarray(jnp.stack([_acc_lane0(a) for a in accs]))
+    out = []
+    for row in rows:
+        c = row.reshape(4, STORE)
+        out.append(
+            RistrettoPoint(
+                limbs_to_int(c[0]) % P,
+                limbs_to_int(c[1]) % P,
+                limbs_to_int(c[2]) % P,
+                limbs_to_int(c[3]) % P,
+            )
+        )
+    return out
+
+
+# ------------------------------------------------------- tail-round helpers
+_IDENT_FLAT = jnp.asarray(_flat_np(_ident_limbs(CHUNK)))  # (92, 2048)
+
+
+@jax.jit
+def _tail_shift(chunk: jnp.ndarray, n) -> jnp.ndarray:
+    """Lanes [0, CHUNK-n) <- chunk lanes [n, CHUNK); identity beyond.
+    Compiled ONCE: `n` is a traced lane offset (dynamic_slice)."""
+    flat = chunk.reshape(ROWS, CHUNK)
+    padded = jnp.concatenate([flat, _IDENT_FLAT], axis=1)
+    out = lax.dynamic_slice(padded, (0, n), (ROWS, CHUNK))
+    return out.reshape(ROWS, pc.SUB, pc.LAN_BLOCK)
+
+
+@jax.jit
+def _tail_pack_pair(g: jnp.ndarray, h: jnp.ndarray, n):
+    """IPP tail-round L/R point packing for vector length n < 1024:
+    ptsL lanes = [G[n..2n) | H[0..n) | junk]  (junk lanes get zero words)
+    ptsR lanes = [G[0..n)  | H[n..2n) | junk]
+    One compile: n is traced."""
+    gflat = g.reshape(ROWS, CHUNK)
+    hflat = h.reshape(ROWS, CHUNK)
+    g_hi = lax.dynamic_slice(
+        jnp.concatenate([gflat, _IDENT_FLAT], axis=1), (0, n), (ROWS, CHUNK)
+    )
+    # H shifted right by n lanes: lanes [n, ...) hold H[0..)
+    h_shift = lax.dynamic_slice(
+        jnp.concatenate([_IDENT_FLAT, hflat], axis=1),
+        (0, CHUNK - n),
+        (ROWS, CHUNK),
+    )
+    lane = lax.broadcasted_iota(jnp.int32, (ROWS, CHUNK), 1)
+    ptsL = jnp.where(lane < n, g_hi, h_shift)
+    ptsR = jnp.where(lane < n, gflat, hflat)
+    shp = (ROWS, pc.SUB, pc.LAN_BLOCK)
+    return ptsL.reshape(shp), ptsR.reshape(shp)
+
+
+def tail_pair_words(sc_G: np.ndarray, sc_H: np.ndarray, n: int) -> np.ndarray:
+    """Word chunk matching _tail_pack_pair's lane layout: sc_G in lanes
+    [0, n), sc_H in lanes [n, 2n), zeros beyond."""
+    w = np.zeros((CHUNK, 8), np.int32)
+    w[:n] = scvec.words_u32(sc_G).view(np.int32)
+    w[n : 2 * n] = scvec.words_u32(sc_H).view(np.int32)
+    return np.ascontiguousarray(w.T).reshape(8, pc.SUB, pc.LAN_BLOCK)
+
+
+def tail_fold(chunk: jnp.ndarray, n: int, s_left: np.ndarray,
+              s_right: np.ndarray) -> jnp.ndarray:
+    """Fold lanes [0, n) with lanes [n, 2n) of one chunk (n <= 1024):
+    out[j] = s_left[j] * P[j] + s_right[j] * P[n + j]; identity beyond n."""
+    right = _tail_shift(chunk, n)
+    wl = np.zeros((CHUNK, 8), np.int32)
+    wl[:n] = scvec.words_u32(s_left).view(np.int32)
+    wr = np.zeros((CHUNK, 8), np.int32)
+    wr[:n] = scvec.words_u32(s_right).view(np.int32)
+    return pc.fold_chunk(
+        chunk,
+        right,
+        np.ascontiguousarray(wl.T).reshape(8, pc.SUB, pc.LAN_BLOCK),
+        np.ascontiguousarray(wr.T).reshape(8, pc.SUB, pc.LAN_BLOCK),
+    )
+
+
+def fold_chunks(chunks: list[jnp.ndarray], wl_chunks, wr_chunks):
+    """Chunk-granular fold: out[i] = fold(chunks[i], chunks[i+k]) for
+    k = len(chunks)//2 output chunks; word chunks are per-output-chunk."""
+    k = len(chunks) // 2
+    return [
+        pc.fold_chunk(chunks[i], chunks[i + k], wl_chunks[i], wr_chunks[i])
+        for i in range(k)
+    ]

@@ -52,13 +52,15 @@ def scalars_to_digits(scalars, window: int = WINDOW) -> np.ndarray:
     no per-scalar Python loop, VERDICT round-1 item 8)."""
     nwin = (253 + window - 1) // window
     if isinstance(scalars, np.ndarray) and scalars.ndim == 2:
-        assert window == 4, "array fast path is 4-bit windows"
+        assert window in (1, 2, 4, 8), "array fast path needs window | 8"
         n = scalars.shape[0]
         b = np.ascontiguousarray(scalars, dtype="<u8").view(np.uint8)
         b = b.reshape(n, 32)
-        out = np.empty((n, 64), dtype=np.int32)
-        out[:, 0::2] = b & 15
-        out[:, 1::2] = b >> 4
+        per = 8 // window
+        mask = (1 << window) - 1
+        out = np.empty((n, 32 * per), dtype=np.int32)
+        for k in range(per):
+            out[:, k::per] = (b >> (window * k)) & mask
         return out[:, :nwin]
     n = len(scalars)
     out = np.zeros((n, nwin), dtype=np.int32)
@@ -71,18 +73,22 @@ def scalars_to_digits(scalars, window: int = WINDOW) -> np.ndarray:
     return out
 
 
-@jax.jit
-def _msm_chunk(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+def msm_chunk_impl(
+    points: jnp.ndarray, digits: jnp.ndarray, window: int = WINDOW
+) -> jnp.ndarray:
     """MSM over one chunk: points (N,4,S), digits (N,W) -> (4,S) sum.
 
     Windowed double-and-add, MSB window first; the per-point multiple
-    d * P_i is selected from a 15-entry table by a one-hot weighted sum
-    (pure VPU multiply-adds, no gather).
+    d * P_i is selected from a (2^w - 1)-entry table by a one-hot weighted
+    sum (pure VPU multiply-adds, no gather).  ``window`` trades table size
+    (graph size / compile time) against doubling count; the CPU-mesh tests
+    use w=2 to keep XLA compiles short.
     """
     n = points.shape[0]
-    # table[k] = (k+1) * P, k = 0..14  -> (15, N, 4, S)
+    nent = (1 << window) - 1
+    # table[k] = (k+1) * P, k = 0..nent-1  -> (nent, N, 4, S)
     entries = [points]
-    for k in range(1, 15):
+    for k in range(1, nent):
         entries.append(point_add(entries[-1], points))
     table = jnp.stack(entries, axis=0)
 
@@ -90,11 +96,13 @@ def _msm_chunk(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
 
     def body(acc, w):
         # acc: (N, 4, S) running per-point accumulator
-        for _ in range(WINDOW):
+        for _ in range(window):
             acc = point_double(acc)
         d = digits[:, nwin - 1 - w]  # (N,)
         # one-hot select of d*P (identity when d == 0)
-        onehot = (d[None, :] == jnp.arange(1, 16)[:, None]).astype(jnp.int32)
+        onehot = (
+            d[None, :] == jnp.arange(1, nent + 1)[:, None]
+        ).astype(jnp.int32)
         sel = jnp.einsum("kn,knab->nab", onehot, table)
         # d == 0 -> identity
         ident = jnp.broadcast_to(identity_points(()), points.shape)
@@ -114,6 +122,9 @@ def _msm_chunk(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
         acc = jnp.concatenate([summed, extra], axis=0) if extra is not None else summed
         m = acc.shape[0]
     return acc[0]
+
+
+_msm_chunk = jax.jit(msm_chunk_impl)
 
 
 def _pad_chunk(points: jnp.ndarray, digits: np.ndarray, size: int):

@@ -214,6 +214,33 @@ def msm_block_totals(points: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(totals, 1, 0).reshape(nblocks, 4, STORE)
 
 
+def _smul_acc_kernel(p_ref, words_ref, acc_ref, o_ref):
+    """One fixed-size chunk of a chained MSM: block-reduced ladder total
+    plus the running accumulator.  The block reduction broadcasts the total
+    to every lattice position, so the accumulator stays position-uniform
+    across calls and any position can be fetched at the end."""
+    total = _ladder(_load_point(p_ref), words_ref, True)
+    _store_point(o_ref, emit_point_add(total, _load_point(acc_ref)))
+
+
+@jax.jit
+def msm_chunk_acc(
+    points: jnp.ndarray, words: jnp.ndarray, acc: jnp.ndarray
+) -> jnp.ndarray:
+    """Chained fixed-shape MSM chunk: points (92, 8, 256) + packed words
+    (8, 8, 256) + acc (92, 8, 256) -> new acc.  ONE compiled shape serves
+    every MSM in the engine (per-shape Mosaic compiles cost ~70 s on this
+    backend; see ops/chunks.py)."""
+    assert points.shape == (ROWS, SUB, LAN_BLOCK)
+    return pl.pallas_call(
+        _smul_acc_kernel,
+        grid=(1,),
+        out_shape=jax.ShapeDtypeStruct(points.shape, jnp.int32),
+        in_specs=[_pspec(), _wspec(), _pspec()],
+        out_specs=_pspec(),
+    )(points, words, acc)
+
+
 @jax.jit
 def smul_lanes(points: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
     """Per-lane scalar_i * P_i (no reduction)."""
