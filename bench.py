@@ -13,6 +13,7 @@ result lands even if a later stage runs out of time):
   1. pallas MSM micro-benchmark        -> "MSM point-adds/sec"
   2. Poseidon-hash-2 preimage proof    -> "proofs/sec/chip (Poseidon 2:1)"
   3. VSMT-2 depth-253 proof            -> "proofs/sec/chip (VSMT-2)"
+  4. batched VSMT-2 (BENCH_BATCH=B)    -> amortised proofs/sec/chip
 
 A watchdog thread prints the best-so-far result and exits 0 at
 BENCH_DEADLINE_S seconds (default 1500) so the external driver timeout can
@@ -336,7 +337,49 @@ def stage3_vsmt(depth=None, backend=None):
         prover.prove(bp_gens, backend=backend)
         dt = time.time() - t0
         log(f"[stage3] warm prove {i} {dt:.1f}s")
-    return dt
+    ctx = dict(
+        pc_gens=pc_gens, bp_gens=bp_gens, comp=comp, tape=tape,
+        k=k, bits=bits, nodes=nodes, aL=aL, aR=aR, aO=aO,
+    )
+    return dt, ctx
+
+
+def stage4_batch_vsmt(ctx, backend, serial_dt):
+    """Batched VSMT-2 proving: B provers driven stage-synchronously with
+    fused device syncs (parallel.batch.prove_provers)."""
+    from bulletproofs_r1cs_gadgets_tpu import Prover, Transcript, Verifier
+    from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
+
+    B = int(os.environ.get("BENCH_BATCH", 4))
+    pc_gens, bp_gens, comp, tape = (
+        ctx["pc_gens"], ctx["bp_gens"], ctx["comp"], ctx["tape"]
+    )
+    provers = []
+    t0 = time.time()
+    for _ in range(B):
+        prover = Prover(pc_gens, Transcript(b"VSMT"))
+        comms = comp.commit_prover(prover, ctx["k"], ctx["bits"], ctx["nodes"])
+        prover.load_compiled(tape, ctx["aL"], ctx["aR"], ctx["aO"])
+        provers.append((prover, comms))
+    log(f"[stage4] built {B} provers in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    proofs = prove_provers([p for p, _ in provers], bp_gens, backend=backend)
+    dt = time.time() - t0
+    log(
+        f"[stage4] batch prove B={B}: {dt:.1f}s total, {dt/B:.2f}s/proof "
+        f"({serial_dt/(dt/B):.2f}x serial)"
+    )
+
+    # verify every batched proof
+    t0 = time.time()
+    for proof, (_, comms) in zip(proofs, provers):
+        verifier = Verifier(Transcript(b"VSMT"))
+        comp.commit_verifier(verifier, comms, pc_gens)
+        verifier.load_compiled(tape, comp.num_multipliers)
+        verifier.verify(proof, pc_gens, bp_gens, backend=backend)
+    log(f"[stage4] all {B} proofs VERIFIED in {time.time()-t0:.1f}s")
+    return B, dt
 
 
 def main():
@@ -344,7 +387,7 @@ def main():
     threading.Thread(
         target=_watchdog, args=(deadline,), daemon=True
     ).start()
-    stop_after = int(os.environ.get("BENCH_STAGE", 3))
+    stop_after = int(os.environ.get("BENCH_STAGE", 4))
 
     msm_rate = None
     try:
@@ -383,7 +426,7 @@ def main():
         return
 
     try:
-        dt = stage3_vsmt(backend=backend)
+        dt, ctx = stage3_vsmt(backend=backend)
         result(
             "proofs/sec/chip (VSMT-2 Poseidon gadget)",
             1.0 / dt,
@@ -395,6 +438,28 @@ def main():
         )
     except Exception as e:
         log(f"[stage3] FAILED: {type(e).__name__}: {e}")
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        return
+    if stop_after == 3:
+        return
+
+    try:
+        B, bdt = stage4_batch_vsmt(ctx, backend, dt)
+        result(
+            "proofs/sec/chip (VSMT-2 Poseidon gadget)",
+            B / bdt,
+            "proofs/s",
+            extra={
+                "batch": B,
+                "batch_seconds": round(bdt, 2),
+                "serial_prove_seconds": round(dt, 2),
+                "msm_point_adds_per_sec": msm_rate,
+            },
+        )
+    except Exception as e:
+        log(f"[stage4] FAILED: {type(e).__name__}: {e}")
         import traceback
 
         traceback.print_exc(file=sys.stderr)

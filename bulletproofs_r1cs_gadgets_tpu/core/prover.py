@@ -275,6 +275,65 @@ class Prover:
             cb(rcs)
 
     # ------------------------------------------------------------------ prove
+    def _phase1_state(self, bp_gens: BulletproofGens) -> dict:
+        """Stage 1 of prove(): transcript header, phase-1 blindings and
+        witness arrays — everything up to (but excluding) the three phase-1
+        vector-commitment MSMs.  Split out so ``parallel.batch.prove_batch``
+        can fuse those MSMs across B provers into one device sync."""
+        t = self.transcript
+        t.append_u64(b"m", len(self.v))
+        n1 = self.num_multipliers()
+        self.num_phase1_multipliers = n1
+        i_blinding1 = self._random_scalar()
+        o_blinding1 = self._random_scalar()
+        s_blinding1 = self._random_scalar()
+        aL_arr, aR_arr, aO_arr = self._witness_arrays()
+        return dict(
+            n1=n1,
+            i_blinding1=i_blinding1,
+            o_blinding1=o_blinding1,
+            s_blinding1=s_blinding1,
+            aL=aL_arr,
+            aR=aR_arr,
+            aO=aO_arr,
+            sL=scvec.random(n1),
+            sR=scvec.random(n1),
+            gens=bp_gens.share(0),
+            B_b=self.pc_gens.B_blinding,
+        )
+
+    def _phase1_msm_args(self, st: dict) -> tuple:
+        """Argument tuple for ``backend.phase_commitments`` /
+        ``phase_commitments_batch``."""
+        return (
+            st["gens"], st["aL"], st["aR"], st["aO"], st["sL"], st["sR"],
+            st["i_blinding1"], st["o_blinding1"], st["s_blinding1"],
+            st["B_b"], 0,
+        )
+
+    def _phase1_host(self, st: dict) -> tuple[bytes, bytes, bytes]:
+        """Host-path phase-1 vector commitments."""
+        n1, B_b, gens = st["n1"], st["B_b"], st["gens"]
+        G1 = gens.G(n1)
+        H1 = gens.H(n1)
+        if len(G1) < n1:
+            raise InvalidGeneratorsLength("gens capacity too small")
+        a_Ls = scvec.to_scalars(st["aL"])
+        a_Rs = scvec.to_scalars(st["aR"])
+        a_Os = scvec.to_scalars(st["aO"])
+        s_L1 = scvec.to_scalars(st["sL"])
+        s_R1 = scvec.to_scalars(st["sR"])
+        A_I1 = multiscalar_mul(
+            [st["i_blinding1"]] + a_Ls + a_Rs, [B_b] + G1 + H1
+        ).compress()
+        A_O1 = multiscalar_mul(
+            [st["o_blinding1"]] + a_Os, [B_b] + G1
+        ).compress()
+        S1 = multiscalar_mul(
+            [st["s_blinding1"]] + s_L1 + s_R1, [B_b] + G1 + H1
+        ).compress()
+        return A_I1, A_O1, S1
+
     def prove(self, bp_gens: BulletproofGens, backend=None) -> R1CSProof:
         import os as _os
         import time as _time
@@ -288,44 +347,71 @@ class Prover:
 
         _mark("start")
         t = self.transcript
-        t.append_u64(b"m", len(self.v))
-
-        B_b = self.pc_gens.B_blinding
 
         # --- phase 1 commitments
-        n1 = self.num_multipliers()
-        self.num_phase1_multipliers = n1
-        i_blinding1 = self._random_scalar()
-        o_blinding1 = self._random_scalar()
-        s_blinding1 = self._random_scalar()
-        aL_arr, aR_arr, aO_arr = self._witness_arrays()
-        sL_arr = scvec.random(n1)
-        sR_arr = scvec.random(n1)
-
-        gens = bp_gens.share(0)
+        st = self._phase1_state(bp_gens)
+        gens = st["gens"]
         if backend is not None:
             A_I1, A_O1, S1 = backend.phase_commitments(
-                gens, aL_arr, aR_arr, aO_arr, sL_arr, sR_arr,
-                i_blinding1, o_blinding1, s_blinding1, B_b, 0,
+                *self._phase1_msm_args(st)
             )
         else:
-            G1 = gens.G(n1)
-            H1 = gens.H(n1)
-            if len(G1) < n1:
-                raise InvalidGeneratorsLength("gens capacity too small")
-            a_Ls = scvec.to_scalars(aL_arr)
-            a_Rs = scvec.to_scalars(aR_arr)
-            a_Os = scvec.to_scalars(aO_arr)
-            s_L1 = scvec.to_scalars(sL_arr)
-            s_R1 = scvec.to_scalars(sR_arr)
-            A_I1 = multiscalar_mul(
-                [i_blinding1] + a_Ls + a_Rs, [B_b] + G1 + H1
-            ).compress()
-            A_O1 = multiscalar_mul([o_blinding1] + a_Os, [B_b] + G1).compress()
-            S1 = multiscalar_mul(
-                [s_blinding1] + s_L1 + s_R1, [B_b] + G1 + H1
-            ).compress()
+            A_I1, A_O1, S1 = self._phase1_host(st)
         _mark("phase1_commitments")
+
+        mid = self._prove_middle(st, A_I1, A_O1, S1, bp_gens, _mark)
+
+        t.innerproduct_domain_sep(mid["padded_n"])
+        if backend is not None:
+            ipp = backend.ipp_create(
+                t, mid["Q"], mid["G_factors"], mid["H_factors"],
+                gens, mid["padded_n"], mid["l_vec"], mid["r_vec"],
+            )
+        else:
+            from .ipp import _skip_domain_sep
+
+            ipp = InnerProductProof.create(
+                _skip_domain_sep(t),
+                mid["Q"],
+                scvec.to_scalars(mid["G_factors"]),
+                scvec.to_scalars(mid["H_factors"]),
+                gens.G(mid["padded_n"]),
+                gens.H(mid["padded_n"]),
+                scvec.to_scalars(mid["l_vec"]),
+                scvec.to_scalars(mid["r_vec"]),
+            )
+
+        _mark("ipp")
+        if _timing:
+            import sys as _sys
+
+            parts = ", ".join(
+                f"{name}={_marks[i+1][1]-_marks[i][1]:.2f}s"
+                for i, (name, _) in enumerate(_marks[1:], 0)
+                for name in [_marks[i + 1][0]]
+            )
+            print(f"[timing:prove] {parts}", file=_sys.stderr, flush=True)
+        return R1CSProof(*mid["fields"], ipp)
+
+    def _prove_middle(
+        self, st: dict, A_I1, A_O1, S1, bp_gens: BulletproofGens, _mark=None
+    ) -> dict:
+        """Stages 2-5 of prove(): transcript appends for the phase-1
+        commitments, the randomized-constraint phase, challenges y/z,
+        constraint flattening, the l(x)/r(x)/t(x) polynomials and
+        T-commitments, and the IPP input vectors.  All host scalar work +
+        transcript; no device MSMs (those are phase 1 and the IPP)."""
+        if _mark is None:
+            _mark = lambda name: None  # noqa: E731
+        t = self.transcript
+        n1 = st["n1"]
+        i_blinding1 = st["i_blinding1"]
+        o_blinding1 = st["o_blinding1"]
+        s_blinding1 = st["s_blinding1"]
+        aL_arr, aR_arr, aO_arr = st["aL"], st["aR"], st["aO"]
+        sL_arr, sR_arr = st["sL"], st["sR"]
+        gens = st["gens"]
+        B_b = st["B_b"]
         t.append_point(b"A_I1", A_I1)
         t.append_point(b"A_O1", A_O1)
         t.append_point(b"S1", S1)
@@ -474,39 +560,18 @@ class Prover:
         )
         H_factors = scvec.mul(yinv_pow, G_factors)
 
-        t.innerproduct_domain_sep(padded_n)
-        if backend is not None:
-            ipp = backend.ipp_create(
-                t, Q, G_factors, H_factors, gens, padded_n, l_vec, r_vec,
-            )
-        else:
-            from .ipp import _skip_domain_sep
-
-            ipp = InnerProductProof.create(
-                _skip_domain_sep(t),
-                Q,
-                scvec.to_scalars(G_factors),
-                scvec.to_scalars(H_factors),
-                gens.G(padded_n),
-                gens.H(padded_n),
-                scvec.to_scalars(l_vec),
-                scvec.to_scalars(r_vec),
-            )
-
-        _mark("ipp")
-        if _timing:
-            import sys as _sys
-
-            parts = ", ".join(
-                f"{name}={_marks[i+1][1]-_marks[i][1]:.2f}s"
-                for i, (name, _) in enumerate(_marks[1:], 0)
-                for name in [_marks[i + 1][0]]
-            )
-            print(f"[timing:prove] {parts}", file=_sys.stderr, flush=True)
-        return R1CSProof(
-            A_I1, A_O1, S1, A_I2, A_O2, S2,
-            T_1, T_3, T_4, T_5, T_6,
-            t_x, t_x_blinding, e_blinding, ipp,
+        return dict(
+            padded_n=padded_n,
+            Q=Q,
+            G_factors=G_factors,
+            H_factors=H_factors,
+            l_vec=l_vec,
+            r_vec=r_vec,
+            fields=(
+                A_I1, A_O1, S1, A_I2, A_O2, S2,
+                T_1, T_3, T_4, T_5, T_6,
+                t_x, t_x_blinding, e_blinding,
+            ),
         )
 
 

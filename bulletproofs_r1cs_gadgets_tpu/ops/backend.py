@@ -121,6 +121,15 @@ class DeviceBackend:
         dev = points_to_device(points)
         return points_from_device(self._msm_dev([s.v for s in scalars], dev))[0]
 
+    # ------------------------------------------------------ batched variants
+    # Loop fallbacks so any backend accepts batch jobs; PallasBackend
+    # overrides these with fused single-sync dispatch (the TPU fast path).
+    def phase_commitments_batch(self, jobs: list[tuple]) -> list[tuple]:
+        return [self.phase_commitments(*job) for job in jobs]
+
+    def ipp_create_batch(self, jobs: list[tuple]) -> list:
+        return [self.ipp_create(*job) for job in jobs]
+
     def msm_gens(
         self, scalars, head_points, gens_share, padded_n, tail_points
     ) -> RistrettoPoint:

@@ -153,29 +153,36 @@ class PallasBackend:
         return out
 
     # -------------------------------------------------- prover commitments
-    def phase_commitments(
+    def _phase_host(
         self, gens_share, a_L, a_R, a_O, s_L, s_R,
         i_blinding, o_blinding, s_blinding, B_blinding, offset,
     ):
         n = len(a_L)
-        if n < self.min_device_n:
-            G = gens_share.G(offset + n)[offset:]
-            H = gens_share.H(offset + n)[offset:]
-            a_Ls = scvec.to_scalars(_as_array(a_L))
-            a_Rs = scvec.to_scalars(_as_array(a_R))
-            a_Os = scvec.to_scalars(_as_array(a_O))
-            s_Ls = scvec.to_scalars(_as_array(s_L))
-            s_Rs = scvec.to_scalars(_as_array(s_R))
-            A_I = multiscalar_mul(
-                [i_blinding] + a_Ls + a_Rs, [B_blinding] + G + H
-            ).compress()
-            A_O = multiscalar_mul(
-                [o_blinding] + a_Os, [B_blinding] + G
-            ).compress()
-            S = multiscalar_mul(
-                [s_blinding] + s_Ls + s_Rs, [B_blinding] + G + H
-            ).compress()
-            return A_I, A_O, S
+        G = gens_share.G(offset + n)[offset:]
+        H = gens_share.H(offset + n)[offset:]
+        a_Ls = scvec.to_scalars(_as_array(a_L))
+        a_Rs = scvec.to_scalars(_as_array(a_R))
+        a_Os = scvec.to_scalars(_as_array(a_O))
+        s_Ls = scvec.to_scalars(_as_array(s_L))
+        s_Rs = scvec.to_scalars(_as_array(s_R))
+        A_I = multiscalar_mul(
+            [i_blinding] + a_Ls + a_Rs, [B_blinding] + G + H
+        ).compress()
+        A_O = multiscalar_mul(
+            [o_blinding] + a_Os, [B_blinding] + G
+        ).compress()
+        S = multiscalar_mul(
+            [s_blinding] + s_Ls + s_Rs, [B_blinding] + G + H
+        ).compress()
+        return A_I, A_O, S
+
+    def _phase_begin(
+        self, gens_share, a_L, a_R, a_O, s_L, s_R,
+        i_blinding, o_blinding, s_blinding, B_blinding, offset,
+    ):
+        """Dispatch the three phase-1 MSM chains; returns device
+        accumulators (NO sync) for a later fused :func:`ck.fetch_points`."""
+        n = len(a_L)
         assert offset == 0, "phase-2 device commitments not yet routed"
         t0 = time.time() if _TIMING else 0
         a_L, a_R, a_O = _as_array(a_L), _as_array(a_R), _as_array(a_O)
@@ -202,10 +209,36 @@ class PallasBackend:
             [ck.single_scalar_words(s_blinding)]
             + ck.segment_words([(s_L, k), (s_R, k)]),
         )
-        A_I, A_O, S = ck.fetch_points([acc_AI, acc_AO, acc_S])
         if _TIMING:
-            TIMER.add("phase1_device", time.time() - t0)
-        return A_I.compress(), A_O.compress(), S.compress()
+            TIMER.add("phase1_dispatch", time.time() - t0)
+        return acc_AI, acc_AO, acc_S
+
+    def phase_commitments(self, *args):
+        return self.phase_commitments_batch([args])[0]
+
+    def phase_commitments_batch(self, jobs: list[tuple]) -> list[tuple]:
+        """Phase-1 vector commitments for B provers with ONE device sync:
+        all 3B MSM chunk chains are queued asynchronously, then fetched
+        together.  Each job is the ``phase_commitments`` argument tuple;
+        returns [(A_I, A_O, S) compressed] per job."""
+        out: list = [None] * len(jobs)
+        accs = []
+        order = []
+        for idx, job in enumerate(jobs):
+            if len(job[1]) < self.min_device_n:
+                out[idx] = self._phase_host(*job)
+            else:
+                accs.extend(self._phase_begin(*job))
+                order.append(idx)
+        if accs:
+            t0 = time.time() if _TIMING else 0
+            pts = ck.fetch_points(accs)
+            if _TIMING:
+                TIMER.add("phase1_sync", time.time() - t0)
+            for j, idx in enumerate(order):
+                A_I, A_O, S = pts[3 * j : 3 * j + 3]
+                out[idx] = (A_I.compress(), A_O.compress(), S.compress())
+        return out
 
     # ------------------------------------------------------------------ IPP
     def ipp_create(
@@ -214,128 +247,187 @@ class PallasBackend:
         """Caller has already appended the ``ipp v1`` domain separator;
         G_factors/H_factors/a/b are (n, 4) u64 arrays; generators come
         from the per-gens chunk cache."""
-        n = padded_n
-        if n < self.min_device_n:
-            return InnerProductProof.create(
-                _skip_domain_sep(transcript), Q,
-                scvec.to_scalars(_as_array(G_factors)),
-                scvec.to_scalars(_as_array(H_factors)),
-                gens_share.G(n), gens_share.H(n),
-                scvec.to_scalars(_as_array(a)),
-                scvec.to_scalars(_as_array(b)),
-            )
+        return self.ipp_create_batch(
+            [(transcript, Q, G_factors, H_factors, gens_share, padded_n,
+              a, b)]
+        )[0]
 
-        t0 = time.time() if _TIMING else 0
-        G_factors = _as_array(G_factors)
-        H_factors = _as_array(H_factors)
-        a = _as_array(a)
-        b = _as_array(b)
-        # working chunk lists; >= n points valid in lanes [0, n)
-        G = list(self._gens_chunks(gens_share, n, "G"))
-        H = list(self._gens_chunks(gens_share, n, "H"))
-        qc = self._cached_point_chunk("Q", Q)
-        if _TIMING:
-            TIMER.add("ipp_upload", time.time() - t0)
-        L_vec: list[bytes] = []
-        R_vec: list[bytes] = []
-        first = True
-        while n != 1:
-            n //= 2
+    def ipp_create_batch(self, jobs: list[tuple]) -> list[InnerProductProof]:
+        """Inner-product arguments for B independent proofs driven in
+        lockstep: per log-round, all 2B L/R MSM chunk chains dispatch
+        asynchronously and are fetched with ONE sync, then each job takes
+        its own Fiat-Shamir challenge and queues its generator folds (no
+        sync).  The per-round sync cost — the dominant term of a warm
+        single-proof IPP — amortises B-fold."""
+        out: list = [None] * len(jobs)
+        states: list[tuple[int, _IppJob]] = []
+        for idx, job in enumerate(jobs):
+            (transcript, Q, G_factors, H_factors, gens_share, padded_n,
+             a, b) = job
+            if padded_n < self.min_device_n:
+                out[idx] = InnerProductProof.create(
+                    _skip_domain_sep(transcript), Q,
+                    scvec.to_scalars(_as_array(G_factors)),
+                    scvec.to_scalars(_as_array(H_factors)),
+                    gens_share.G(padded_n), gens_share.H(padded_n),
+                    scvec.to_scalars(_as_array(a)),
+                    scvec.to_scalars(_as_array(b)),
+                )
+            else:
+                states.append((idx, _IppJob(self, *job)))
+        while True:
+            active = [(idx, s) for idx, s in states if s.n > 1]
+            if not active:
+                break
+            accs = []
+            for _, s in active:
+                accs.extend(s.round_dispatch())
             t0 = time.time() if _TIMING else 0
-            a_L, a_R = a[:n], a[n:]
-            b_L, b_R = b[:n], b[n:]
-            c_L = scvec.inner(a_L, b_R)
-            c_R = scvec.inner(a_R, b_L)
-            if first:
-                scG_L = scvec.mul(a_L, G_factors[n : 2 * n])
-                scH_L = scvec.mul(b_R, H_factors[:n])
-                scG_R = scvec.mul(a_R, G_factors[:n])
-                scH_R = scvec.mul(b_L, H_factors[n : 2 * n])
-            else:
-                scG_L, scH_L = a_L, b_R
-                scG_R, scH_R = a_R, b_L
-            if _TIMING:
-                TIMER.add("ipp_host_scalars", time.time() - t0)
-                t0 = time.time()
-            if n >= CHUNK:
-                k = n // CHUNK
-                wq_L = ck.single_scalar_words(c_L)
-                wq_R = ck.single_scalar_words(c_R)
-                accL = ck.msm_chain(
-                    G[k : 2 * k] + H[:k] + [qc],
-                    ck.segment_words([(scG_L, k), (scH_L, k)]) + [wq_L],
-                )
-                accR = ck.msm_chain(
-                    G[:k] + H[k : 2 * k] + [qc],
-                    ck.segment_words([(scG_R, k), (scH_R, k)]) + [wq_R],
-                )
-            else:
-                ptsL, ptsR = ck._tail_pack_pair(G[0], H[0], n)
-                accL = ck.msm_chain(
-                    [ptsL, qc],
-                    [ck.tail_pair_words(scG_L, scH_L, n),
-                     ck.single_scalar_words(c_L)],
-                )
-                accR = ck.msm_chain(
-                    [ptsR, qc],
-                    [ck.tail_pair_words(scG_R, scH_R, n),
-                     ck.single_scalar_words(c_R)],
-                )
-            if _TIMING:
-                TIMER.add("pair_dispatch", time.time() - t0)
-                t0 = time.time()
-            L_pt, R_pt = ck.fetch_points([accL, accR])
+            pts = ck.fetch_points(accs)
             if _TIMING:
                 TIMER.add("pair_sync", time.time() - t0)
-            L_c = L_pt.compress()
-            R_c = R_pt.compress()
-            L_vec.append(L_c)
-            R_vec.append(R_c)
-            transcript.append_point(b"L", L_c)
-            transcript.append_point(b"R", R_c)
-            u = transcript.challenge_scalar(b"u")
-            u_inv = u.invert()
-            t0 = time.time() if _TIMING else 0
-            a = scvec.axpby(a_L, u, a_R, u_inv)
-            b = scvec.axpby(b_L, u_inv, b_R, u)
-            if first:
-                gl = scvec.scale(G_factors[:n], u_inv)
-                gr = scvec.scale(G_factors[n : 2 * n], u)
-                hl = scvec.scale(H_factors[:n], u)
-                hr = scvec.scale(H_factors[n : 2 * n], u_inv)
-                first = False
+            for j, (_, s) in enumerate(active):
+                s.round_finish(pts[2 * j], pts[2 * j + 1])
+        for idx, s in states:
+            out[idx] = s.result()
+        if states:
+            TIMER.dump("ipp")
+        return out
+
+
+class _IppJob:
+    """Per-proof state of a device-backed IPP, advanced one log-round at a
+    time by :meth:`PallasBackend.ipp_create_batch`."""
+
+    def __init__(
+        self, backend: PallasBackend, transcript, Q, G_factors, H_factors,
+        gens_share, padded_n, a, b,
+    ):
+        t0 = time.time() if _TIMING else 0
+        self.t = transcript
+        self.n = padded_n
+        self.a = _as_array(a)
+        self.b = _as_array(b)
+        self.G_factors = _as_array(G_factors)
+        self.H_factors = _as_array(H_factors)
+        # working chunk lists; >= n points valid in lanes [0, n)
+        self.G = list(backend._gens_chunks(gens_share, padded_n, "G"))
+        self.H = list(backend._gens_chunks(gens_share, padded_n, "H"))
+        self.qc = backend._cached_point_chunk("Q", Q)
+        self.first = True
+        self.L_vec: list[bytes] = []
+        self.R_vec: list[bytes] = []
+        if _TIMING:
+            TIMER.add("ipp_upload", time.time() - t0)
+
+    def round_dispatch(self):
+        """Halve n, compute this round's scalar operands on host and queue
+        the L/R MSM chunk chains; returns (accL, accR) device accumulators
+        (NO sync)."""
+        self.n //= 2
+        n = self.n
+        t0 = time.time() if _TIMING else 0
+        a_L, a_R = self.a[:n], self.a[n:]
+        b_L, b_R = self.b[:n], self.b[n:]
+        self._halves = (a_L, a_R, b_L, b_R)
+        self.c_L = scvec.inner(a_L, b_R)
+        self.c_R = scvec.inner(a_R, b_L)
+        if self.first:
+            scG_L = scvec.mul(a_L, self.G_factors[n : 2 * n])
+            scH_L = scvec.mul(b_R, self.H_factors[:n])
+            scG_R = scvec.mul(a_R, self.G_factors[:n])
+            scH_R = scvec.mul(b_L, self.H_factors[n : 2 * n])
+        else:
+            scG_L, scH_L = a_L, b_R
+            scG_R, scH_R = a_R, b_L
+        if _TIMING:
+            TIMER.add("ipp_host_scalars", time.time() - t0)
+            t0 = time.time()
+        G, H, qc = self.G, self.H, self.qc
+        if n >= CHUNK:
+            k = n // CHUNK
+            accL = ck.msm_chain(
+                G[k : 2 * k] + H[:k] + [qc],
+                ck.segment_words([(scG_L, k), (scH_L, k)])
+                + [ck.single_scalar_words(self.c_L)],
+            )
+            accR = ck.msm_chain(
+                G[:k] + H[k : 2 * k] + [qc],
+                ck.segment_words([(scG_R, k), (scH_R, k)])
+                + [ck.single_scalar_words(self.c_R)],
+            )
+        else:
+            ptsL, ptsR = ck._tail_pack_pair(G[0], H[0], n)
+            accL = ck.msm_chain(
+                [ptsL, qc],
+                [ck.tail_pair_words(scG_L, scH_L, n),
+                 ck.single_scalar_words(self.c_L)],
+            )
+            accR = ck.msm_chain(
+                [ptsR, qc],
+                [ck.tail_pair_words(scG_R, scH_R, n),
+                 ck.single_scalar_words(self.c_R)],
+            )
+        if _TIMING:
+            TIMER.add("pair_dispatch", time.time() - t0)
+        return accL, accR
+
+    def round_finish(self, L_pt, R_pt) -> None:
+        """Append L/R, take this proof's challenge, fold a/b on host and
+        queue the generator fold dispatches (NO sync)."""
+        n = self.n
+        a_L, a_R, b_L, b_R = self._halves
+        L_c = L_pt.compress()
+        R_c = R_pt.compress()
+        self.L_vec.append(L_c)
+        self.R_vec.append(R_c)
+        self.t.append_point(b"L", L_c)
+        self.t.append_point(b"R", R_c)
+        u = self.t.challenge_scalar(b"u")
+        u_inv = u.invert()
+        t0 = time.time() if _TIMING else 0
+        self.a = scvec.axpby(a_L, u, a_R, u_inv)
+        self.b = scvec.axpby(b_L, u_inv, b_R, u)
+        if self.first:
+            gl = scvec.scale(self.G_factors[:n], u_inv)
+            gr = scvec.scale(self.G_factors[n : 2 * n], u)
+            hl = scvec.scale(self.H_factors[:n], u)
+            hr = scvec.scale(self.H_factors[n : 2 * n], u_inv)
+            self.first = False
+        else:
+            gl = gr = hl = hr = None  # constant folds
+        if _TIMING:
+            TIMER.add("ipp_host_folds", time.time() - t0)
+            t0 = time.time()
+        if n >= CHUNK:
+            k = n // CHUNK
+            if gl is not None:
+                wgl = ck.words_chunks(gl, k)
+                wgr = ck.words_chunks(gr, k)
+                whl = ck.words_chunks(hl, k)
+                whr = ck.words_chunks(hr, k)
             else:
-                gl = hr = None  # constant folds
-            if _TIMING:
-                TIMER.add("ipp_host_folds", time.time() - t0)
-                t0 = time.time()
-            if n >= CHUNK:
-                k = n // CHUNK
-                if gl is not None:
-                    wgl = ck.words_chunks(gl, k)
-                    wgr = ck.words_chunks(gr, k)
-                    whl = ck.words_chunks(hl, k)
-                    whr = ck.words_chunks(hr, k)
-                else:
-                    cu = ck.const_words(u, CHUNK)
-                    cui = ck.const_words(u_inv, CHUNK)
-                    wgl = [cui] * k
-                    wgr = [cu] * k
-                    whl = [cu] * k
-                    whr = [cui] * k
-                G = ck.fold_chunks(G[: 2 * k], wgl, wgr)
-                H = ck.fold_chunks(H[: 2 * k], whl, whr)
-            else:
-                if gl is None:
-                    gl = np.tile(scvec.scalar_to_row(u_inv), (n, 1))
-                    gr = np.tile(scvec.scalar_to_row(u), (n, 1))
-                    hl = gr
-                    hr = gl
-                G = [ck.tail_fold(G[0], n, gl, gr)]
-                H = [ck.tail_fold(H[0], n, hl, hr)]
-            if _TIMING:
-                TIMER.add("fold_dispatch", time.time() - t0)
-        TIMER.dump("ipp")
+                cu = ck.const_words(u, CHUNK)
+                cui = ck.const_words(u_inv, CHUNK)
+                wgl = [cui] * k
+                wgr = [cu] * k
+                whl = [cu] * k
+                whr = [cui] * k
+            self.G = ck.fold_chunks(self.G[: 2 * k], wgl, wgr)
+            self.H = ck.fold_chunks(self.H[: 2 * k], whl, whr)
+        else:
+            if gl is None:
+                gl = np.tile(scvec.scalar_to_row(u_inv), (n, 1))
+                gr = np.tile(scvec.scalar_to_row(u), (n, 1))
+                hl = gr
+                hr = gl
+            self.G = [ck.tail_fold(self.G[0], n, gl, gr)]
+            self.H = [ck.tail_fold(self.H[0], n, hl, hr)]
+        if _TIMING:
+            TIMER.add("fold_dispatch", time.time() - t0)
+
+    def result(self) -> InnerProductProof:
         return InnerProductProof(
-            L_vec, R_vec, scvec.row_to_scalar(a[0]), scvec.row_to_scalar(b[0])
+            self.L_vec, self.R_vec,
+            scvec.row_to_scalar(self.a[0]), scvec.row_to_scalar(self.b[0]),
         )

@@ -1,20 +1,23 @@
 """Batch-parallel proving (the data-parallel axis, SURVEY.md S2b N10).
 
-Each proof has an independent Fiat-Shamir transcript, so proofs cannot share
-challenges - but all device work (vector commitments, IPP L/R MSMs,
+Each proof has an independent Fiat-Shamir transcript, so proofs cannot
+share challenges — but all device work (vector commitments, IPP L/R MSMs,
 generator folds) is independent across proofs and batches cleanly.
 
-v1 (this module): sequential proof loop over a SHARED backend - generator
-device arrays upload once, every Pallas kernel stays warm, so marginal
-proofs skip all compile/upload cost.  Per-proof device utilisation already
-amortises the dominant one-time costs.
+**Staged fusion** (``prove_provers``): B provers advance stage-
+synchronously.  The B×3 phase-1 vector-commitment MSM chunk chains queue
+asynchronously and resolve with ONE device sync
+(``backend.phase_commitments_batch``); per-proof transcript challenges and
+host polynomial work run between device stages; then all B inner-product
+arguments run in lockstep log-rounds with one sync per round for the whole
+batch (``backend.ipp_create_batch``).  Device dispatch queues stay full
+while the host computes the next proof's scalars, so throughput approaches
+max(host, device) instead of host+device, and the per-sync latency (~60 ms
+on the remote TPU backend — the dominant term of a warm small proof)
+amortises B-fold.
 
-v2 (staged fusion, designed, tracked for the next round): drive B provers
-stage-synchronously and pack each stage's B MSMs / folds into single
-block-aligned dispatches (the `_msm_pair` lane-packing in
-``ops.pallas_backend`` generalises to B groups verbatim), then shard the
-batch axis over the device mesh (``parallel.mesh``).  This is how the
-4096-proof multi-host configuration in BASELINE.json is reached.
+Backends without fused batch methods (or ``backend=None``) fall back to a
+sequential loop with identical proof bytes.
 """
 
 from __future__ import annotations
@@ -35,6 +38,48 @@ class BatchResult:
     commitments: list[list[bytes]]
 
 
+def prove_provers(
+    provers: list[Prover], bp_gens: BulletproofGens, backend=None
+) -> list[R1CSProof]:
+    """Prove B fully-synthesized provers with staged device fusion.
+
+    Provers may have different circuits/sizes; each keeps its own
+    transcript and challenge schedule.  The fusion only reorders *device*
+    work across proofs — per proof, transcript operations and rng draws
+    happen in the sequential path's order, so a prover with a
+    deterministic private rng produces byte-identical proofs either
+    way."""
+    if backend is None or not hasattr(backend, "phase_commitments_batch"):
+        return [p.prove(bp_gens, backend=backend) for p in provers]
+
+    # stage 1: phase-1 blindings + witness arrays, then ALL phase-1 MSMs
+    # with one fused sync
+    sts = [p._phase1_state(bp_gens) for p in provers]
+    triples = backend.phase_commitments_batch(
+        [p._phase1_msm_args(st) for p, st in zip(provers, sts)]
+    )
+
+    # stages 2-5 (host): challenges, flattening, l/r/t polynomials,
+    # T-commitments — per proof, between device stages
+    mids = [
+        p._prove_middle(st, *tr, bp_gens)
+        for p, st, tr in zip(provers, sts, triples)
+    ]
+
+    # stage 6: all B inner-product arguments in lockstep rounds
+    jobs = []
+    for p, st, mid in zip(provers, sts, mids):
+        p.transcript.innerproduct_domain_sep(mid["padded_n"])
+        jobs.append((
+            p.transcript, mid["Q"], mid["G_factors"], mid["H_factors"],
+            st["gens"], mid["padded_n"], mid["l_vec"], mid["r_vec"],
+        ))
+    ipps = backend.ipp_create_batch(jobs)
+    return [
+        R1CSProof(*mid["fields"], ipp) for mid, ipp in zip(mids, ipps)
+    ]
+
+
 def prove_batch(
     pc_gens: PedersenGens,
     bp_gens: BulletproofGens,
@@ -50,13 +95,13 @@ def prove_batch(
     must commit its inputs and synthesize constraints, returning the
     commitment list (prover side) or re-binding them (verifier side).
     """
-    proofs = []
+    provers = []
     commitments = []
     for w in witnesses:
         prover = Prover(pc_gens, Transcript(transcript_label), rng=rng)
-        comms = build_circuit(prover, w)
-        proofs.append(prover.prove(bp_gens, backend=backend))
-        commitments.append(comms)
+        commitments.append(build_circuit(prover, w))
+        provers.append(prover)
+    proofs = prove_provers(provers, bp_gens, backend=backend)
     return BatchResult(proofs, commitments)
 
 

@@ -72,6 +72,21 @@ def test_grain_generator_properties():
     assert len(set(a)) == 4
 
 
+@pytest.mark.slow
+def test_grain_reproduces_shipped_constants():
+    """The shipped 960 round constants (poseidon_constants.rs:10) are the
+    SECOND batch of 960 from the notebook's Grain generator — its constants
+    cell ran twice against one generator instance.  The param-generation
+    layer must reproduce them bit-exactly (~30 s: 1920 * 253 stream bits)."""
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon_params import (
+        _load_data,
+        reference_round_constants,
+    )
+
+    shipped = [int(h, 16) for h in _load_data()["round_consts_hex"]]
+    assert reference_round_constants() == shipped
+
+
 def test_poseidon_permutation_dual(subtests=None):
     # circuit outputs must equal the native permutation for both S-boxes
     for sbox in [SboxType.Cube, SboxType.Inverse]:

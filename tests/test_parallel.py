@@ -38,6 +38,83 @@ def test_prove_batch_factors():
     verify_batch(PC, BP, b"BatchFactors", result, build)
 
 
+def test_prove_provers_staged_matches_sequential():
+    """Staged-fusion batch proving must produce byte-identical proofs to
+    the sequential path when each prover draws from a deterministic rng
+    (the fusion only reorders device work)."""
+    import hashlib
+
+    from bulletproofs_r1cs_gadgets_tpu import Prover, Transcript
+    from bulletproofs_r1cs_gadgets_tpu.core.errors import VerificationError
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.bound_check import (
+        bound_check_gadget,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import (
+        AllocatedQuantity,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.ops.backend import DeviceBackend
+    from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
+
+    class StreamRng:
+        def __init__(self, seed: bytes):
+            self.key = seed
+            self.ctr = 0
+
+        def bytes(self, n: int) -> bytes:
+            out = b""
+            while len(out) < n:
+                out += hashlib.sha256(
+                    self.key + self.ctr.to_bytes(8, "little")
+                ).digest()
+                self.ctr += 1
+            return out[:n]
+
+    def build(seed: int):
+        provers = []
+        for i in range(3):
+            rng = StreamRng(bytes([seed, i]))
+            p = Prover(PC, Transcript(b"BoundsBatch"), rng=rng)
+            v, lo, hi = 40 + i, 10, 100
+            com_v, var_v = p.commit(Scalar(v), Scalar(7 + i))
+            com_a, var_a = p.commit(Scalar(v - lo), Scalar(9 + i))
+            com_b, var_b = p.commit(Scalar(hi - v), Scalar(11 + i))
+            bound_check_gadget(
+                p,
+                AllocatedQuantity(var_v, v),
+                AllocatedQuantity(var_a, v - lo),
+                AllocatedQuantity(var_b, hi - v),
+                hi, lo, 32,
+            )
+            provers.append(p)
+        return provers
+
+    # scvec.random draws from os entropy, not the prover rng: stub it to a
+    # deterministic stream for the byte-equality check
+    from bulletproofs_r1cs_gadgets_tpu.core import scvec
+
+    orig_random = scvec.random
+    import numpy as np
+
+    def fake_random(n, _state={"i": 0}):
+        rows = []
+        for _ in range(n):
+            _state["i"] += 1
+            rows.append(scvec.scalar_to_row(Scalar(10_000 + _state["i"])))
+        return np.asarray(rows).reshape(n, 4)
+
+    scvec.random = fake_random
+    try:
+        seq = [p.prove(BP) for p in build(1)]
+        # reset the deterministic stream for the staged run
+        fake_random.__defaults__[0]["i"] = 0
+        staged = prove_provers(
+            build(1), BP, backend=DeviceBackend(min_device_n=1 << 30)
+        )
+    finally:
+        scvec.random = orig_random
+    assert [p.to_bytes() for p in seq] == [p.to_bytes() for p in staged]
+
+
 def test_make_mesh_shapes():
     mesh = make_mesh()  # whatever devices exist
     assert set(mesh.axis_names) == {"batch", "points"}
