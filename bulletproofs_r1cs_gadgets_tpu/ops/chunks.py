@@ -113,18 +113,52 @@ def ident_chunk() -> jnp.ndarray:
 
 
 # ------------------------------------------------------------- word chunks
+def signed_digit_words(arr: np.ndarray) -> np.ndarray:
+    """(m, 4) u64 scalars -> (m, 8) int32 packed 4-bit signed digits.
+
+    Two's-complement nibble recode for the windowed ladder
+    (``pallas_curve._ladder_w4``): digit d_i in [-8, 7] with
+    sum d_i * 16^i == scalar; nibble encoding d & 15, so an all-zero word
+    still means "add nothing" and zero padding stays free.  Fully
+    vectorised over m; the carry chain runs over the 64 digit positions."""
+    m = arr.shape[0]
+    b = np.ascontiguousarray(arr, dtype="<u8").view(np.uint8).reshape(m, 32)
+    nib = np.empty((m, 64), np.int16)
+    nib[:, 0::2] = b & 15
+    nib[:, 1::2] = b >> 4
+    digits = np.empty((m, 64), np.int16)
+    carry = np.zeros(m, np.int16)
+    for i in range(64):
+        v = nib[:, i] + carry
+        carry = (v >= 8).astype(np.int16)
+        digits[:, i] = v - 16 * carry
+    # scalars are < L < 2^253, so the top digit absorbs the carry
+    assert not carry.any(), "signed-digit recode overflow"
+    packed = (digits & 15).astype(np.uint32)
+    out = np.zeros((m, 8), np.uint32)
+    for j in range(8):
+        out |= packed[:, j::8] << (4 * j)
+    return out.view(np.int32)
+
+
 def words_chunks(arr: np.ndarray, nchunks: int | None = None,
-                 offset_chunks: int = 0) -> list[np.ndarray]:
+                 encode=None) -> list[np.ndarray]:
     """(m, 4) u64 scalar array -> list of (8, 8, 256) int32 word chunks,
-    zero-padded to `nchunks` (zero words select the identity in the
-    ladder, so padding costs nothing)."""
+    zero-padded to `nchunks` (zero words select the identity in both
+    ladder encodings, so padding costs nothing).
+
+    ``encode`` picks the in-kernel ladder: None/"bits" for the bit-serial
+    kernels (fold_chunk), "w4" for the signed-digit MSM kernel."""
     m = arr.shape[0]
     k = nchunks if nchunks is not None else max(1, -(-m // CHUNK))
-    w = scvec.words_u32(arr).view(np.int32)  # (m, 8)
+    if encode == "w4":
+        w = signed_digit_words(arr)
+    else:
+        w = scvec.words_u32(arr).view(np.int32)  # (m, 8)
     if m < k * CHUNK:
         w = np.concatenate([w, np.zeros((k * CHUNK - m, 8), np.int32)])
     out = []
-    for c in range(offset_chunks, k):
+    for c in range(k):
         blk = w[c * CHUNK : (c + 1) * CHUNK]  # (2048, 8)
         out.append(
             np.ascontiguousarray(blk.T).reshape(8, pc.SUB, pc.LAN_BLOCK)
@@ -133,13 +167,13 @@ def words_chunks(arr: np.ndarray, nchunks: int | None = None,
 
 
 def segment_words(segments) -> list[np.ndarray]:
-    """Build word chunks for a chunk-list of point segments: `segments` is
-    a list of (scalar_array (m,4) u64, n_chunks) pairs; each segment is
-    zero-padded to its own chunk boundary (matching how the point chunk
-    lists concatenate)."""
+    """Build MSM word chunks (signed-digit encoding) for a chunk-list of
+    point segments: `segments` is a list of (scalar_array (m,4) u64,
+    n_chunks) pairs; each segment is zero-padded to its own chunk boundary
+    (matching how the point chunk lists concatenate)."""
     out = []
     for arr, k in segments:
-        out.extend(words_chunks(arr, k))
+        out.extend(words_chunks(arr, k, encode="w4"))
     return out
 
 
@@ -147,25 +181,26 @@ _ZERO_WORDS = np.zeros((8, pc.SUB, pc.LAN_BLOCK), np.int32)
 
 
 def single_scalar_words(s) -> np.ndarray:
-    """Word chunk with scalar `s` at lane 0 and zeros elsewhere."""
+    """MSM word chunk with scalar `s` at lane 0 and zeros elsewhere."""
     row = scvec.scalar_to_row(s)[None]  # (1, 4) u64
-    return words_chunks(row, 1)[0]
+    return words_chunks(row, 1, encode="w4")[0]
 
 
 def const_words(s, n: int) -> np.ndarray:
-    """Word chunk with scalar `s` in lanes [0, n) and zeros beyond."""
+    """Fold word chunk (bit encoding) with scalar `s` in lanes [0, n)."""
     arr = np.tile(scvec.scalar_to_row(s), (n, 1))
     return words_chunks(arr, 1)[0]
 
 
 # --------------------------------------------------------------- MSM chain
 def msm_chain(pts_chunks, word_chunks, acc=None) -> jnp.ndarray:
-    """Chained MSM over aligned chunk lists; returns the device accumulator
-    (position-uniform).  No host sync - fetch with :func:`fetch_points`."""
+    """Chained MSM over aligned chunk lists (signed-digit words); returns
+    the device accumulator (position-uniform).  No host sync - fetch with
+    :func:`fetch_points`."""
     if acc is None:
         acc = ident_chunk()
     for p, w in zip(pts_chunks, word_chunks, strict=True):
-        acc = pc.msm_chunk_acc(p, w, acc)
+        acc = pc.msm_chunk_acc_w4(p, w, acc)
     return acc
 
 
@@ -233,11 +268,11 @@ def _tail_pack_pair(g: jnp.ndarray, h: jnp.ndarray, n):
 
 
 def tail_pair_words(sc_G: np.ndarray, sc_H: np.ndarray, n: int) -> np.ndarray:
-    """Word chunk matching _tail_pack_pair's lane layout: sc_G in lanes
-    [0, n), sc_H in lanes [n, 2n), zeros beyond."""
+    """MSM word chunk (signed-digit) matching _tail_pack_pair's lane
+    layout: sc_G in lanes [0, n), sc_H in lanes [n, 2n), zeros beyond."""
     w = np.zeros((CHUNK, 8), np.int32)
-    w[:n] = scvec.words_u32(sc_G).view(np.int32)
-    w[n : 2 * n] = scvec.words_u32(sc_H).view(np.int32)
+    w[:n] = signed_digit_words(sc_G)
+    w[n : 2 * n] = signed_digit_words(sc_H)
     return np.ascontiguousarray(w.T).reshape(8, pc.SUB, pc.LAN_BLOCK)
 
 

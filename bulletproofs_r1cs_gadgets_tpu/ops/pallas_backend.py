@@ -113,7 +113,7 @@ class PallasBackend:
             return multiscalar_mul(scalars, points)
         arr = _as_array(scalars)
         pts = ck.points_to_chunks(points)
-        acc = ck.msm_chain(pts, ck.words_chunks(arr, len(pts)))
+        acc = ck.msm_chain(pts, ck.words_chunks(arr, len(pts), encode="w4"))
         return ck.fetch_points([acc])[0]
 
     def msm_gens(

@@ -241,6 +241,75 @@ def msm_chunk_acc(
     )(points, words, acc)
 
 
+# ----------------------------------------- signed-digit windowed scalar mul
+# 4-bit signed-digit ladder: 64 windows x (4 dbl + 1 table add) + an 8-entry
+# in-register multiple table (4 dbl + 3 add to build) = ~340 point-ops per
+# lane vs 506 for the bit-serial ladder.  The table is addressed with pure
+# lane-wise selects (jnp.where chains) - NO dynamic VMEM stores, which is
+# what sank the earlier windowed-table kernel (see module docstring).
+# Digits are two's-complement nibbles d in [-8, 7] packed 8-per-int32
+# (ops/chunks.py signed_digit recode); nibble 0 selects the identity, so
+# zero-padded words stay free.
+def emit_point_negate(p, neg):
+    """Conditional per-lane negation: (X, Y, Z, T) -> (-X, Y, Z, -T) where
+    `neg` (SUB, LAN); balanced limbs negate exactly."""
+    X, Y, Z, T = p
+    m = neg[None]
+    return (jnp.where(m, -X, X), Y, Z, jnp.where(m, -T, T))
+
+
+def _ladder_w4(pts, words_ref, with_reduce: bool):
+    ident = _identity_point(pts[0])
+    # multiple table t[k] = (k+1) * P for k = 0..7 (4 dbl + 3 add)
+    t2 = emit_point_double(pts)
+    t3 = emit_point_add(t2, pts)
+    t4 = emit_point_double(t2)
+    t5 = emit_point_add(t4, pts)
+    t6 = emit_point_double(t3)
+    t7 = emit_point_add(t6, pts)
+    t8 = emit_point_double(t4)
+    table = (pts, t2, t3, t4, t5, t6, t7, t8)
+
+    def body(j, acc):
+        for _ in range(4):
+            acc = emit_point_double(acc)
+        pos = 63 - j
+        word = words_ref[pos // 8]
+        e = (word >> (4 * (pos % 8))) & 15
+        neg = e >= 8
+        mag = jnp.where(neg, 16 - e, e)  # e=8 -> d=-8 -> mag 8
+        sel = ident
+        for k in range(1, 9):
+            sel = emit_point_select(mag == k, table[k - 1], sel)
+        sel = emit_point_negate(sel, neg)
+        return emit_point_add(acc, sel)
+
+    acc = lax.fori_loop(0, 64, body, ident, unroll=False)
+    return emit_block_reduce(acc) if with_reduce else acc
+
+
+def _smul_acc_w4_kernel(p_ref, words_ref, acc_ref, o_ref):
+    total = _ladder_w4(_load_point(p_ref), words_ref, True)
+    _store_point(o_ref, emit_point_add(total, _load_point(acc_ref)))
+
+
+@jax.jit
+def msm_chunk_acc_w4(
+    points: jnp.ndarray, words: jnp.ndarray, acc: jnp.ndarray
+) -> jnp.ndarray:
+    """Chained MSM chunk with the signed-digit windowed ladder; same
+    signature as :func:`msm_chunk_acc` but `words` hold packed
+    two's-complement nibble digits (chunks.signed_digit encoding)."""
+    assert points.shape == (ROWS, SUB, LAN_BLOCK)
+    return pl.pallas_call(
+        _smul_acc_w4_kernel,
+        grid=(1,),
+        out_shape=jax.ShapeDtypeStruct(points.shape, jnp.int32),
+        in_specs=[_pspec(), _wspec(), _pspec()],
+        out_specs=_pspec(),
+    )(points, words, acc)
+
+
 @jax.jit
 def smul_lanes(points: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
     """Per-lane scalar_i * P_i (no reduction)."""
