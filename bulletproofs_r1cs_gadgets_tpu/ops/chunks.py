@@ -119,26 +119,25 @@ def signed_digit_words(arr: np.ndarray) -> np.ndarray:
     Two's-complement nibble recode for the windowed ladder
     (``pallas_curve._ladder_w4``): digit d_i in [-8, 7] with
     sum d_i * 16^i == scalar; nibble encoding d & 15, so an all-zero word
-    still means "add nothing" and zero padding stays free.  Fully
-    vectorised over m; the carry chain runs over the 64 digit positions."""
-    m = arr.shape[0]
-    b = np.ascontiguousarray(arr, dtype="<u8").view(np.uint8).reshape(m, 32)
-    nib = np.empty((m, 64), np.int16)
-    nib[:, 0::2] = b & 15
-    nib[:, 1::2] = b >> 4
-    digits = np.empty((m, 64), np.int16)
-    carry = np.zeros(m, np.int16)
-    for i in range(64):
-        v = nib[:, i] + carry
-        carry = (v >= 8).astype(np.int16)
-        digits[:, i] = v - 16 * carry
-    # scalars are < L < 2^253, so the top digit absorbs the carry
+    still means "add nothing" and zero padding stays free.
+
+    Closed form (no carry chain): with t = scalar + 0x88...8 (64 nibbles
+    of 8, big-int add) the signed digits are d_i = nib_i(t) - 8, and the
+    4-bit encoding (d_i & 15) equals nib_i(t) ^ 8 — so the whole recode is
+    a 4-limb carried add plus one XOR, ~1000x the looped version."""
+    EIGHTS = np.uint64(0x8888888888888888)
+    a = np.ascontiguousarray(arr, dtype="<u8")
+    t = np.empty_like(a)
+    carry = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for i in range(4):
+            s = a[:, i] + EIGHTS
+            c_new = s < a[:, i]
+            t[:, i] = s + carry
+            carry = (c_new | (t[:, i] < s)).astype(np.uint64)
+    # scalars are < L < 2^253, so the top limb cannot overflow
     assert not carry.any(), "signed-digit recode overflow"
-    packed = (digits & 15).astype(np.uint32)
-    out = np.zeros((m, 8), np.uint32)
-    for j in range(8):
-        out |= packed[:, j::8] << (4 * j)
-    return out.view(np.int32)
+    return (t ^ EIGHTS).view("<u4").view(np.int32).reshape(arr.shape[0], 8)
 
 
 def words_chunks(arr: np.ndarray, nchunks: int | None = None,
@@ -190,6 +189,97 @@ def const_words(s, n: int) -> np.ndarray:
     """Fold word chunk (bit encoding) with scalar `s` in lanes [0, n)."""
     arr = np.tile(scvec.scalar_to_row(s), (n, 1))
     return words_chunks(arr, 1)[0]
+
+
+# ------------------------------------------------- capacity (grid) arrays
+GRID_CHUNKS = pc.GRID_CHUNKS
+GRID_LANES = pc.GRID_LANES
+
+_pad_fns: dict = {}
+
+
+def _pad_to_capacity(arr: jnp.ndarray) -> jnp.ndarray:
+    """Device-pad (d0, 8, 256*v) -> (d0, 8, GRID_LANES) with zeros.  The
+    padding is never addressed (grid index maps clamp to valid chunks);
+    jitted per source width, a handful of widths per process."""
+    key = arr.shape
+    fn = _pad_fns.get(key)
+    if fn is None:
+        pad = GRID_LANES - arr.shape[-1]
+
+        @jax.jit
+        def fn(a):
+            return jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+
+        _pad_fns[key] = fn
+    return fn(arr)
+
+
+def chunks_to_big(chunk_list: list[jnp.ndarray]) -> jnp.ndarray:
+    """Chunk list -> ONE capacity-shaped (92, 8, GRID_LANES) device array
+    (chunk c at lanes [256c, 256(c+1))); requires len <= GRID_CHUNKS."""
+    k = len(chunk_list)
+    assert k <= GRID_CHUNKS
+    cat = jnp.concatenate(chunk_list, axis=2)
+    return _pad_to_capacity(cat) if k < GRID_CHUNKS else cat
+
+
+def grid_words(arr: np.ndarray, nchunks: int, encode="w4") -> jnp.ndarray:
+    """(m, 4) u64 scalars -> capacity-shaped (8, 8, GRID_LANES) device word
+    array for :func:`pallas_curve.msm_grid_acc` (or fold_grid with
+    encode=None); only the first `nchunks` chunks are meaningful."""
+    blocks = words_chunks(arr, nchunks, encode=encode)
+    cat = jnp.asarray(np.concatenate(blocks, axis=2))
+    return _pad_to_capacity(cat) if nchunks < GRID_CHUNKS else cat
+
+
+_const_grid_words_cache: dict = {}
+
+
+def const_grid_words(s) -> jnp.ndarray:
+    """Capacity word array with scalar `s` in EVERY lane (bit encoding,
+    for constant generator folds); cached by scalar value."""
+    key = s.v if hasattr(s, "v") else int(s)
+    got = _const_grid_words_cache.get(key)
+    if got is None:
+        one = const_words(s, CHUNK)  # (8, SUB, LAN_BLOCK) bit-encoded
+        got = jnp.asarray(
+            np.broadcast_to(
+                one[:, :, None, :], (8, pc.SUB, GRID_CHUNKS, pc.LAN_BLOCK)
+            ).reshape(8, pc.SUB, GRID_LANES)
+        )
+        if len(_const_grid_words_cache) > 64:
+            _const_grid_words_cache.clear()
+        _const_grid_words_cache[key] = got
+    return got
+
+
+def _info(valid: int, offset: int = 0) -> np.ndarray:
+    return np.array([valid, offset], dtype=np.int32)
+
+
+def msm_grid(points_big: jnp.ndarray, words_big: jnp.ndarray,
+             valid: int, offset: int = 0, acc=None) -> jnp.ndarray:
+    """One-dispatch MSM over `valid` chunks of a capacity array starting
+    at chunk `offset`; chains through `acc` like :func:`msm_chain`."""
+    assert 1 <= valid and offset + valid <= GRID_CHUNKS
+    if acc is None:
+        acc = ident_chunk()
+    return pc.msm_grid_acc(points_big, words_big, acc, _info(valid, offset))
+
+
+def fold_big(big: jnp.ndarray, wl_big: jnp.ndarray, wr_big: jnp.ndarray,
+             valid_out: int) -> jnp.ndarray:
+    """Capacity-array generator fold: out[i] = wl[i]*P[i] + wr[i]*P[i+v]
+    for chunk i < v = valid_out; chunks beyond v are unspecified."""
+    assert 1 <= valid_out <= GRID_CHUNKS // 2
+    return pc.fold_grid(big, wl_big, wr_big, _info(valid_out))
+
+
+@jax.jit
+def big_chunk0(big: jnp.ndarray) -> jnp.ndarray:
+    """First 2048-point chunk of a capacity array (for IPP tail rounds)."""
+    return big[:, :, : pc.LAN_BLOCK]
 
 
 # --------------------------------------------------------------- MSM chain

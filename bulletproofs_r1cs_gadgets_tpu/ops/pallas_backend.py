@@ -96,6 +96,21 @@ class PallasBackend:
             self._gens_cache[key] = cached
         return cached[:k]
 
+    def _gens_big(self, gens_share, n: int, which: str):
+        """Capacity-shaped (92, 8, GRID_LANES) generator array for the
+        grid MSM/fold kernels (cached per gens object); None when n needs
+        more than GRID_CHUNKS chunks."""
+        k = _nchunks(n)
+        if k > ck.GRID_CHUNKS:
+            return None
+        key = (id(gens_share._gens), which, "big")
+        got = self._gens_cache.get(key)
+        if got is None or got[1] < k:
+            chunks = self._gens_chunks(gens_share, n, which)
+            got = (ck.chunks_to_big(chunks), len(chunks))
+            self._gens_cache[key] = got
+        return got[0]
+
     def _cached_point_chunk(self, tag: str, point: RistrettoPoint):
         """One-point chunk (point at lane 0), cached by compressed bytes."""
         key = (tag, point.compress())
@@ -133,10 +148,31 @@ class PallasBackend:
             )
             return multiscalar_mul(scvec.to_scalars(arr), pts)
         t0 = time.time() if _TIMING else 0
-        G = self._gens_chunks(gens_share, padded_n, "G")
-        H = self._gens_chunks(gens_share, padded_n, "H")
+        k = _nchunks(padded_n)
         head = ck.points_to_chunks(head_points)
         tail = ck.points_to_chunks(tail_points)
+        G_big = self._gens_big(gens_share, padded_n, "G") if k >= 2 else None
+        if G_big is not None:
+            H_big = self._gens_big(gens_share, padded_n, "H")
+            sc_G = ck.grid_words(arr[nh : nh + padded_n], k)
+            sc_H = ck.grid_words(arr[nh + padded_n : nh + 2 * padded_n], k)
+            head_w = ck.words_chunks(arr[:nh], len(head), encode="w4")
+            tail_w = ck.words_chunks(
+                arr[nh + 2 * padded_n :], len(tail), encode="w4"
+            )
+            if _TIMING:
+                TIMER.add("msm_prep", time.time() - t0)
+                t0 = time.time()
+            acc = ck.msm_chain(head, head_w)
+            acc = ck.msm_grid(G_big, sc_G, k, acc=acc)
+            acc = ck.msm_grid(H_big, sc_H, k, acc=acc)
+            acc = ck.msm_chain(tail, tail_w, acc=acc)
+            out = ck.fetch_points([acc])[0]
+            if _TIMING:
+                TIMER.add("msm_device", time.time() - t0)
+            return out
+        G = self._gens_chunks(gens_share, padded_n, "G")
+        H = self._gens_chunks(gens_share, padded_n, "H")
         words = ck.segment_words([
             (arr[:nh], len(head)),
             (arr[nh : nh + padded_n], len(G)),
@@ -187,10 +223,42 @@ class PallasBackend:
         t0 = time.time() if _TIMING else 0
         a_L, a_R, a_O = _as_array(a_L), _as_array(a_R), _as_array(a_O)
         s_L, s_R = _as_array(s_L), _as_array(s_R)
+        k = _nchunks(n)
+        bb = self._cached_point_chunk("Bb", B_blinding)
+        G_big = self._gens_big(gens_share, n, "G") if k >= 2 else None
+        if G_big is not None:
+            # grid path: 2 dispatches per commitment instead of 2k+1
+            H_big = self._gens_big(gens_share, n, "H")
+            if _TIMING:
+                TIMER.add("phase1_prep", time.time() - t0)
+                t0 = time.time()
+            head_AI = ck.msm_chain(
+                [bb], [ck.single_scalar_words(i_blinding)]
+            )
+            acc_AI = ck.msm_grid(
+                H_big, ck.grid_words(a_R, k), k,
+                acc=ck.msm_grid(G_big, ck.grid_words(a_L, k), k,
+                                acc=head_AI),
+            )
+            acc_AO = ck.msm_grid(
+                G_big, ck.grid_words(a_O, k), k,
+                acc=ck.msm_chain(
+                    [bb], [ck.single_scalar_words(o_blinding)]
+                ),
+            )
+            acc_S = ck.msm_grid(
+                H_big, ck.grid_words(s_R, k), k,
+                acc=ck.msm_grid(G_big, ck.grid_words(s_L, k), k,
+                                acc=ck.msm_chain(
+                                    [bb],
+                                    [ck.single_scalar_words(s_blinding)],
+                                )),
+            )
+            if _TIMING:
+                TIMER.add("phase1_dispatch", time.time() - t0)
+            return acc_AI, acc_AO, acc_S
         G = self._gens_chunks(gens_share, n, "G")
         H = self._gens_chunks(gens_share, n, "H")
-        bb = self._cached_point_chunk("Bb", B_blinding)
-        k = len(G)
         if _TIMING:
             TIMER.add("phase1_prep", time.time() - t0)
             t0 = time.time()
@@ -310,15 +378,32 @@ class _IppJob:
         self.b = _as_array(b)
         self.G_factors = _as_array(G_factors)
         self.H_factors = _as_array(H_factors)
-        # working chunk lists; >= n points valid in lanes [0, n)
-        self.G = list(backend._gens_chunks(gens_share, padded_n, "G"))
-        self.H = list(backend._gens_chunks(gens_share, padded_n, "H"))
+        k0 = _nchunks(padded_n)
+        self.G_big = (
+            backend._gens_big(gens_share, padded_n, "G") if k0 >= 2 else None
+        )
+        if self.G_big is not None:
+            # capacity-array mode: grid MSM/fold dispatches while n >= CHUNK
+            self.H_big = backend._gens_big(gens_share, padded_n, "H")
+            self.G = self.H = None
+        else:
+            # working chunk lists; >= n points valid in lanes [0, n)
+            self.G = list(backend._gens_chunks(gens_share, padded_n, "G"))
+            self.H = list(backend._gens_chunks(gens_share, padded_n, "H"))
         self.qc = backend._cached_point_chunk("Q", Q)
         self.first = True
         self.L_vec: list[bytes] = []
         self.R_vec: list[bytes] = []
         if _TIMING:
             TIMER.add("ipp_upload", time.time() - t0)
+
+    def _to_chunks_if_tail(self):
+        """Drop from capacity-array mode to the single-chunk tail path
+        once n < CHUNK (the unfolded vector then fits one chunk)."""
+        if self.G_big is not None and self.n < CHUNK:
+            self.G = [ck.big_chunk0(self.G_big)]
+            self.H = [ck.big_chunk0(self.H_big)]
+            self.G_big = self.H_big = None
 
     def round_dispatch(self):
         """Halve n, compute this round's scalar operands on host and queue
@@ -343,8 +428,29 @@ class _IppJob:
         if _TIMING:
             TIMER.add("ipp_host_scalars", time.time() - t0)
             t0 = time.time()
+        self._to_chunks_if_tail()
         G, H, qc = self.G, self.H, self.qc
-        if n >= CHUNK:
+        if n >= CHUNK and self.G_big is not None:
+            k = n // CHUNK
+            accL = ck.msm_chain(
+                [qc], [ck.single_scalar_words(self.c_L)],
+                acc=ck.msm_grid(
+                    self.H_big, ck.grid_words(scH_L, k), k,
+                    acc=ck.msm_grid(
+                        self.G_big, ck.grid_words(scG_L, k), k, offset=k
+                    ),
+                ),
+            )
+            accR = ck.msm_chain(
+                [qc], [ck.single_scalar_words(self.c_R)],
+                acc=ck.msm_grid(
+                    self.H_big, ck.grid_words(scH_R, k), k, offset=k,
+                    acc=ck.msm_grid(
+                        self.G_big, ck.grid_words(scG_R, k), k
+                    ),
+                ),
+            )
+        elif n >= CHUNK:
             k = n // CHUNK
             accL = ck.msm_chain(
                 G[k : 2 * k] + H[:k] + [qc],
@@ -399,7 +505,19 @@ class _IppJob:
         if _TIMING:
             TIMER.add("ipp_host_folds", time.time() - t0)
             t0 = time.time()
-        if n >= CHUNK:
+        if n >= CHUNK and self.G_big is not None:
+            k = n // CHUNK
+            if gl is not None:
+                wgl = ck.grid_words(gl, k, encode=None)
+                wgr = ck.grid_words(gr, k, encode=None)
+                whl = ck.grid_words(hl, k, encode=None)
+                whr = ck.grid_words(hr, k, encode=None)
+            else:
+                wgl = whr = ck.const_grid_words(u_inv)
+                wgr = whl = ck.const_grid_words(u)
+            self.G_big = ck.fold_big(self.G_big, wgl, wgr, k)
+            self.H_big = ck.fold_big(self.H_big, whl, whr, k)
+        elif n >= CHUNK:
             k = n // CHUNK
             if gl is not None:
                 wgl = ck.words_chunks(gl, k)

@@ -310,6 +310,134 @@ def msm_chunk_acc_w4(
     )(points, words, acc)
 
 
+# ------------------------------------------------- fixed-capacity grid MSM
+# One dispatch per MSM segment instead of one per 2048-point chunk: the
+# grid walks up to GRID_CHUNKS blocks of a capacity-shaped (92, 8, 32768)
+# point array, accumulating per-lane partials in VMEM (no per-chunk HBM
+# accumulator traffic, no dispatch queue overhead) and block-reducing once
+# at the last *valid* step.  The valid-chunk count and a chunk offset ride
+# a scalar-prefetch arg so ONE compiled shape serves every segment size:
+# index maps clamp to the last valid block, so padded steps re-address the
+# same block (no DMA) and `pl.when` skips their compute entirely.
+GRID_CHUNKS = 128
+GRID_LANES = GRID_CHUNKS * LAN_BLOCK  # 32768 lane columns = 262144 points
+
+def _grid_pspec():
+    return pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, info[1] + jnp.minimum(j, info[0] - 1)),
+    )
+
+
+def _grid_wspec():
+    return pl.BlockSpec(
+        (8, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
+
+
+def _grid_fixed_pspec():
+    return pl.BlockSpec((ROWS, SUB, LAN_BLOCK), lambda j, info: (0, 0, 0))
+
+
+def _msm_grid_kernel(info_ref, p_ref, w_ref, acc_ref, o_ref):
+    j = pl.program_id(0)
+    v = info_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        _store_point(
+            o_ref,
+            _identity_point(jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32)),
+        )
+
+    @pl.when(j < v)
+    def _step():
+        part = _ladder_w4(_load_point(p_ref), w_ref, False)
+        _store_point(o_ref, emit_point_add(_load_point(o_ref), part))
+
+    @pl.when(j == v - 1)
+    def _final():
+        tot = emit_block_reduce(_load_point(o_ref))
+        _store_point(o_ref, emit_point_add(tot, _load_point(acc_ref)))
+
+
+@jax.jit
+def msm_grid_acc(
+    points: jnp.ndarray, words: jnp.ndarray, acc: jnp.ndarray,
+    info: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-dispatch MSM over a capacity-shaped point array.
+
+    points (92, 8, GRID_LANES); words (8, 8, GRID_LANES) signed-digit
+    encoded; acc (92, 8, 256) position-uniform running accumulator;
+    info = int32 [valid_chunks, chunk_offset] (scalar-prefetched).  Lanes
+    of chunk c of `words` apply to chunk `offset + c` of `points`; returns
+    the new position-uniform accumulator."""
+    assert points.shape == (ROWS, SUB, GRID_LANES)
+    assert words.shape == (8, SUB, GRID_LANES)
+    return pl.pallas_call(
+        _msm_grid_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(GRID_CHUNKS,),
+            in_specs=[_grid_pspec(), _grid_wspec(), _grid_fixed_pspec()],
+            out_specs=_grid_fixed_pspec(),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, LAN_BLOCK), jnp.int32),
+    )(info, points, words, acc)
+
+
+def _fold_grid_kernel(info_ref, l_ref, r_ref, wl_ref, wr_ref, o_ref):
+    j = pl.program_id(0)
+    v = info_ref[0]
+
+    @pl.when(j < v)
+    def _step():
+        _store_point(
+            o_ref,
+            _emit_fold(
+                _load_point(l_ref), _load_point(r_ref), wl_ref, wr_ref
+            ),
+        )
+
+
+@jax.jit
+def fold_grid(left_right: jnp.ndarray, words_l: jnp.ndarray,
+              words_r: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
+    """Single-dispatch IPP generator fold over a capacity-shaped array:
+    out chunk i = wl[i]*P[i] + wr[i]*P[i + v] for i < v = info[0] (info is
+    int32 [v, 0]).  Output chunks beyond v are unspecified (callers only
+    address lanes < v * LAN_BLOCK afterwards)."""
+    assert left_right.shape == (ROWS, SUB, GRID_LANES)
+    right_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1) + info[0]),
+    )
+    out_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
+    return pl.pallas_call(
+        _fold_grid_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(GRID_CHUNKS // 2,),
+            in_specs=[
+                pl.BlockSpec(
+                    (ROWS, SUB, LAN_BLOCK),
+                    lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+                ),
+                right_spec,
+                _grid_wspec(),
+                _grid_wspec(),
+            ],
+            out_specs=out_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, GRID_LANES), jnp.int32),
+    )(info, left_right, left_right, words_l, words_r)
+
+
 @jax.jit
 def smul_lanes(points: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
     """Per-lane scalar_i * P_i (no reduction)."""
@@ -325,10 +453,8 @@ def smul_lanes(points: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------- fold kernel
-def _fold_kernel(l_ref, r_ref, wl_ref, wr_ref, o_ref):
-    """Per-lane dual ladder: o_i = s_l_i * L_i + s_r_i * R_i."""
-    left = _load_point(l_ref)
-    right = _load_point(r_ref)
+def _emit_fold(left, right, wl_ref, wr_ref):
+    """Per-lane dual bit-serial ladder: s_l_i * L_i + s_r_i * R_i."""
     both = emit_point_add(left, right)
     ident = _identity_point(left[0])
 
@@ -346,8 +472,14 @@ def _fold_kernel(l_ref, r_ref, wl_ref, wr_ref, o_ref):
         )
         return emit_point_add(acc, sel)
 
-    acc = lax.fori_loop(0, 253, body, ident, unroll=False)
-    _store_point(o_ref, acc)
+    return lax.fori_loop(0, 253, body, ident, unroll=False)
+
+
+def _fold_kernel(l_ref, r_ref, wl_ref, wr_ref, o_ref):
+    _store_point(
+        o_ref,
+        _emit_fold(_load_point(l_ref), _load_point(r_ref), wl_ref, wr_ref),
+    )
 
 
 @jax.jit

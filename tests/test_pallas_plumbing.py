@@ -1,0 +1,203 @@
+"""CPU coverage for the PallasBackend HOST plumbing (VERDICT r1 item 10).
+
+The Pallas kernels themselves are TPU-only, but every host-side branch
+around them — chunk/word encoding, grid capacity arrays, IPP round
+scheduling, tail transitions, batch fusion, the verifier mega-MSM prep —
+is plain Python/numpy/jax and must not wait for a TPU run to fail (a
+round-2 bench run died on ``const_grid_words(Scalar)`` — a pure host type
+bug this file would have caught).
+
+Strategy: monkeypatch the four ``pallas_call`` entry points with
+shape-correct pass-throughs and ``fetch_points`` with a fixed-point
+source, then drive REAL prove/verify flows through ``PallasBackend`` at a
+size large enough (padded_n = 8192, k0 = 4 chunks) to hit every branch:
+grid MSMs with and without chunk offsets, the factor fold, the constant
+fold (``const_grid_words``), the big->chunk tail transition, sub-chunk
+tail rounds, and the batch entry points.  Proof bytes are garbage (the
+kernels are fakes) — these tests assert the plumbing runs and produces
+well-formed objects, not soundness (the TPU e2e covers that).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bulletproofs_r1cs_gadgets_tpu import (
+    BulletproofGens,
+    PedersenGens,
+    Prover,
+    Scalar,
+    Transcript,
+    Verifier,
+)
+from bulletproofs_r1cs_gadgets_tpu.core.errors import VerificationError
+from bulletproofs_r1cs_gadgets_tpu.core.ristretto import RistrettoPoint
+from bulletproofs_r1cs_gadgets_tpu.ops import chunks as ck
+from bulletproofs_r1cs_gadgets_tpu.ops import pallas_curve as pc
+from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import PallasBackend
+
+
+@pytest.fixture
+def fake_kernels(monkeypatch):
+    """Replace the TPU pallas kernels with shape-correct fakes and count
+    calls per entry point; fetch_points returns base-point copies so
+    transcript appends and compressions stay on real group elements."""
+    calls = {"msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0}
+
+    def msm_chunk_acc_w4(points, words, acc):
+        calls["msm_chunk"] += 1
+        assert points.shape == (pc.ROWS, pc.SUB, pc.LAN_BLOCK)
+        assert words.shape == (8, pc.SUB, pc.LAN_BLOCK)
+        return acc
+
+    def fold_chunk(left, right, wl, wr):
+        calls["fold_chunk"] += 1
+        assert left.shape == right.shape == (pc.ROWS, pc.SUB, pc.LAN_BLOCK)
+        return left
+
+    def msm_grid_acc(points, words, acc, info):
+        calls["msm_grid"] += 1
+        assert points.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+        assert words.shape == (8, pc.SUB, pc.GRID_LANES)
+        v, off = int(info[0]), int(info[1])
+        assert 1 <= v and 0 <= off and off + v <= pc.GRID_CHUNKS
+        return acc
+
+    def fold_grid(left_right, wl, wr, info):
+        calls["fold_grid"] += 1
+        assert left_right.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+        assert wl.shape == wr.shape == (8, pc.SUB, pc.GRID_LANES)
+        assert 1 <= int(info[0]) <= pc.GRID_CHUNKS // 2
+        return left_right
+
+    B = PedersenGens.default().B
+
+    def fetch_points(accs):
+        for a in accs:
+            assert a.shape == (pc.ROWS, pc.SUB, pc.LAN_BLOCK)
+        return [B] * len(accs)
+
+    monkeypatch.setattr(pc, "msm_chunk_acc_w4", msm_chunk_acc_w4)
+    monkeypatch.setattr(pc, "fold_chunk", fold_chunk)
+    monkeypatch.setattr(pc, "msm_grid_acc", msm_grid_acc)
+    monkeypatch.setattr(pc, "fold_grid", fold_grid)
+    monkeypatch.setattr(ck, "fetch_points", fetch_points)
+    from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
+
+    monkeypatch.setattr(pb.ck, "fetch_points", fetch_points)
+    return calls
+
+
+@pytest.fixture(scope="module")
+def gens():
+    return PedersenGens.default(), BulletproofGens(8192)
+
+
+def _build(cs, vals, n_mult):
+    """n_mult trivial multipliers over two committed values."""
+    a, b = vals
+    _, _, o = cs.multiply(a + b, a - b)
+    for _ in range(n_mult - 1):
+        cs.multiply(o + Scalar(1), o + Scalar(2))
+
+
+def _prove(gens, backend, n_mult=4097):
+    pc_gens, bp_gens = gens
+    prover = Prover(pc_gens, Transcript(b"plumb"))
+    com, v = prover.commit(Scalar(5), Scalar(7))
+    com2, v2 = prover.commit(Scalar(3), Scalar(11))
+    _build(prover, (v, v2), n_mult)
+    assert prover.num_multipliers() == n_mult
+    return com, com2, prover.prove(bp_gens, backend=backend)
+
+
+def test_prover_grid_branches(fake_kernels, gens):
+    """padded_n = 8192 drives: grid phase-1 MSMs, IPP rounds at k=2 and
+    k=1 (factor fold then CONSTANT fold), big->chunk tail transition, and
+    sub-chunk tail rounds — every _IppJob branch."""
+    _, _, proof = _prove(gens, PallasBackend())
+    blob = proof.to_bytes()
+    assert len(blob) > 0
+    assert fake_kernels["msm_grid"] >= 6  # 3 phase-1 cmts + 2x2 L/R rounds
+    assert fake_kernels["fold_grid"] >= 4  # factor + const rounds, G and H
+    assert fake_kernels["msm_chunk"] >= 10  # blindings, Q terms, tail rnds
+    assert fake_kernels["fold_chunk"] >= 0
+
+
+def test_verifier_msm_gens_grid(fake_kernels, gens):
+    """Verifier mega-MSM takes the grid path; with fake kernels the final
+    identity check sees a non-identity point and must raise (never crash
+    on host plumbing)."""
+    pc_gens, bp_gens = gens
+    com, com2, proof = _prove(gens, PallasBackend())
+    verifier = Verifier(Transcript(b"plumb"))
+    v = verifier.commit(com)
+    v2 = verifier.commit(com2)
+    _build(verifier, (v, v2), 4097)
+    with pytest.raises(VerificationError):
+        verifier.verify(proof, pc_gens, bp_gens, backend=PallasBackend())
+    assert fake_kernels["msm_grid"] >= 2  # G and H segments
+
+
+def test_batch_entry_points(fake_kernels, gens):
+    """prove_provers drives phase_commitments_batch + ipp_create_batch in
+    lockstep for B=2 without type or shape errors."""
+    from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
+
+    pc_gens, bp_gens = gens
+    provers = []
+    for _ in range(2):
+        p = Prover(pc_gens, Transcript(b"plumb"))
+        _, v = p.commit(Scalar(5), Scalar(7))
+        _, v2 = p.commit(Scalar(3), Scalar(11))
+        _build(p, (v, v2), 4097)
+        provers.append(p)
+    proofs = prove_provers(provers, bp_gens, backend=PallasBackend())
+    assert len(proofs) == 2 and all(len(p.to_bytes()) > 0 for p in proofs)
+
+
+def test_chunks_helpers_accept_scalars():
+    """Host-side encoders must accept Scalar objects (the type that the
+    IPP hands them): regression for const_grid_words(int(Scalar))."""
+    s = Scalar(12345)
+    w = ck.const_grid_words(s)
+    assert w.shape == (8, pc.SUB, pc.GRID_LANES)
+    w1 = ck.single_scalar_words(s)
+    assert w1.shape == (8, pc.SUB, pc.LAN_BLOCK)
+    w2 = ck.const_words(s, 16)
+    assert w2.shape == (8, pc.SUB, pc.LAN_BLOCK)
+
+
+def test_grid_words_layout_roundtrip():
+    """grid_words places chunk c of the scalar vector at lanes
+    [256c, 256(c+1)) with the same in-chunk layout as words_chunks."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 2**63, size=(2 * ck.CHUNK, 4), dtype=np.uint64)
+    arr[:, 3] &= (1 << 49) - 1
+    big = np.asarray(ck.grid_words(arr, 2))
+    blocks = ck.words_chunks(arr, 2, encode="w4")
+    for c in range(2):
+        lo, hi = c * pc.LAN_BLOCK, (c + 1) * pc.LAN_BLOCK
+        assert np.array_equal(big[:, :, lo:hi], blocks[c])
+    assert not big[:, :, 2 * pc.LAN_BLOCK :].any()
+
+
+def test_signed_digit_words_decode():
+    """The packed w4 encoding decodes back to the scalar: nibble i holds
+    (d_i & 15) with d_i in [-8, 7] and sum d_i 16^i == scalar."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 2**63, size=(32, 4), dtype=np.uint64)
+    arr[:, 3] &= (1 << 49) - 1
+    arr[0] = 0
+    arr[1] = (1, 0, 0, 0)
+    w = ck.signed_digit_words(arr).view(np.uint32)
+    for row, wrow in zip(arr, w):
+        scalar = sum(int(v) << (64 * i) for i, v in enumerate(row))
+        total = 0
+        for j in range(8):
+            word = int(wrow[j])
+            for t in range(8):
+                nib = (word >> (4 * t)) & 15
+                d = nib - 16 if nib >= 8 else nib
+                total += d << (4 * (8 * j + t))
+        assert total == scalar
