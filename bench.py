@@ -83,38 +83,43 @@ def _watchdog(deadline_s: float):
 
 # --------------------------------------------------------------------- stages
 def stage1_msm():
-    """MSM point-adds/sec on one chip (north-star secondary metric)."""
+    """MSM point-adds/sec on one chip (north-star secondary metric).
+
+    Uses the production grid-MSM path (one dispatch per MSM over a
+    capacity-shaped generator array, signed-digit w4 ladders) — the same
+    kernel the prover compiles, so stage 1's compile cost is shared with
+    stages 2-4 instead of adding a stage-1-only kernel shape."""
     import random
 
     from bulletproofs_r1cs_gadgets_tpu.core.pedersen import BulletproofGens
-    from bulletproofs_r1cs_gadgets_tpu.ops import pallas_curve as pc
-    from bulletproofs_r1cs_gadgets_tpu.ops.curve import points_to_device
+    from bulletproofs_r1cs_gadgets_tpu.core import scvec
+    from bulletproofs_r1cs_gadgets_tpu.core.scalar import Scalar
+    from bulletproofs_r1cs_gadgets_tpu.ops import chunks as ck
+    from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import PallasBackend
     from bulletproofs_r1cs_gadgets_tpu.utils.constants import L
 
     n = int(os.environ.get("BENCH_MSM_N", 1 << 16))
-    log(f"[stage1] MSM n={n}")
+    k = max(1, -(-n // ck.CHUNK))
+    log(f"[stage1] MSM n={n} ({k} chunks, grid path)")
     gens = BulletproofGens(max(n, 2048))
-    pts = gens.G(n)
-    rows = pc.points_to_rows(points_to_device(pts))
+    backend = PallasBackend()
+    big = backend._gens_big(gens.share(0), n, "G")
     rnd = random.Random(1)
     # distinct scalar sets per rep (identical repeat calls can be elided
     # by the runtime and would overstate throughput)
     reps = 3
     word_sets = [
-        pc.words_to_rows(
-            pc.words_matrix([rnd.randrange(L) for _ in range(n)])
+        ck.grid_words(
+            scvec.from_scalars([Scalar(rnd.randrange(L)) for _ in range(n)]),
+            k,
         )
         for _ in range(reps + 1)
     ]
 
     def run(words):
-        totals = pc.msm_block_totals(rows, words)
-        # force a real device->host sync: block_until_ready has been
-        # observed returning early on this remote backend
-        import numpy as _np
-
-        _np.asarray(totals)
-        return totals
+        # fetch_points is a real device->host transfer (block_until_ready
+        # has been observed returning early on this remote backend)
+        return ck.fetch_points([ck.msm_grid(big, words, k)])[0]
 
     t0 = time.time()
     run(word_sets[-1])
@@ -123,7 +128,7 @@ def stage1_msm():
     for i in range(reps):
         run(word_sets[i])
     dt = (time.time() - t0) / reps
-    # bit-serial double-and-add work: 253 * (dbl + add) per point
+    # equivalent bit-serial double-and-add work: 253 * (dbl + add) / point
     point_ops = n * 506
     log(f"[stage1] msm({n}) = {dt*1e3:.1f} ms")
     return point_ops / dt, dt

@@ -113,31 +113,41 @@ def ident_chunk() -> jnp.ndarray:
 
 
 # ------------------------------------------------------------- word chunks
-def signed_digit_words(arr: np.ndarray) -> np.ndarray:
-    """(m, 4) u64 scalars -> (m, 8) int32 packed 4-bit signed digits.
-
-    Two's-complement nibble recode for the windowed ladder
-    (``pallas_curve._ladder_w4``): digit d_i in [-8, 7] with
-    sum d_i * 16^i == scalar; nibble encoding d & 15, so an all-zero word
-    still means "add nothing" and zero padding stays free.
-
-    Closed form (no carry chain): with t = scalar + 0x88...8 (64 nibbles
-    of 8, big-int add) the signed digits are d_i = nib_i(t) - 8, and the
-    4-bit encoding (d_i & 15) equals nib_i(t) ^ 8 — so the whole recode is
-    a 4-limb carried add plus one XOR, ~1000x the looped version."""
-    EIGHTS = np.uint64(0x8888888888888888)
+def _signed_recode(arr: np.ndarray, C: np.uint64) -> np.ndarray:
+    """Closed-form signed-digit recode: (scalar + C) ^ C for a repeating
+    mid-range constant C.  For a 2^w-ary digit split with C holding
+    2^(w-1) in every w-bit group, t = s + C has digits q_i = d_i + 2^(w-1)
+    with signed d_i in [-2^(w-1), 2^(w-1)-1] summing to s, and the w-bit
+    encoding (d_i mod 2^w) equals q_i ^ 2^(w-1) — one carried 4-limb add
+    plus an XOR, no per-digit carry chain (~1000x the looped version)."""
     a = np.ascontiguousarray(arr, dtype="<u8")
     t = np.empty_like(a)
     carry = np.uint64(0)
     with np.errstate(over="ignore"):
         for i in range(4):
-            s = a[:, i] + EIGHTS
+            s = a[:, i] + C
             c_new = s < a[:, i]
             t[:, i] = s + carry
             carry = (c_new | (t[:, i] < s)).astype(np.uint64)
     # scalars are < L < 2^253, so the top limb cannot overflow
     assert not carry.any(), "signed-digit recode overflow"
-    return (t ^ EIGHTS).view("<u4").view(np.int32).reshape(arr.shape[0], 8)
+    return (t ^ C).view("<u4").view(np.int32).reshape(arr.shape[0], 8)
+
+
+def signed_digit_words(arr: np.ndarray) -> np.ndarray:
+    """(m, 4) u64 scalars -> (m, 8) int32 packed 4-bit signed digits
+    d_i in [-8, 7], sum d_i * 16^i == scalar (nibble encoding d & 15, so
+    all-zero words mean "add nothing" and zero padding stays free).  For
+    the windowed MSM ladder ``pallas_curve._ladder_w4``."""
+    return _signed_recode(arr, np.uint64(0x8888888888888888))
+
+
+def signed_digit2_words(arr: np.ndarray) -> np.ndarray:
+    """(m, 4) u64 scalars -> (m, 8) int32 packed 2-bit signed digits
+    d_i in [-2, 1], sum d_i * 4^i == scalar (encoding d & 3).  For the
+    dual fold ladder ``pallas_curve._emit_fold_w2`` (2-entry tables fit
+    VMEM at full 256-lane blocks where the w4 dual tables do not)."""
+    return _signed_recode(arr, np.uint64(0xAAAAAAAAAAAAAAAA))
 
 
 def words_chunks(arr: np.ndarray, nchunks: int | None = None,
@@ -147,11 +157,14 @@ def words_chunks(arr: np.ndarray, nchunks: int | None = None,
     ladder encodings, so padding costs nothing).
 
     ``encode`` picks the in-kernel ladder: None/"bits" for the bit-serial
-    kernels (fold_chunk), "w4" for the signed-digit MSM kernel."""
+    kernels (fold_chunk), "w4" for the signed-digit MSM kernel, "w2" for
+    the dual fold kernel."""
     m = arr.shape[0]
     k = nchunks if nchunks is not None else max(1, -(-m // CHUNK))
     if encode == "w4":
         w = signed_digit_words(arr)
+    elif encode == "w2":
+        w = signed_digit2_words(arr)
     else:
         w = scvec.words_u32(arr).view(np.int32)  # (m, 8)
     if m < k * CHUNK:
@@ -237,17 +250,16 @@ _const_grid_words_cache: dict = {}
 
 
 def const_grid_words(s) -> jnp.ndarray:
-    """Capacity word array with scalar `s` in EVERY lane (bit encoding,
-    for constant generator folds); cached by scalar value."""
+    """Capacity word array with scalar `s` in EVERY lane (signed-digit w2
+    encoding, for constant generator folds); cached by scalar value."""
     key = s.v if hasattr(s, "v") else int(s)
     got = _const_grid_words_cache.get(key)
     if got is None:
-        one = const_words(s, CHUNK)  # (8, SUB, LAN_BLOCK) bit-encoded
-        got = jnp.asarray(
-            np.broadcast_to(
-                one[:, :, None, :], (8, pc.SUB, GRID_CHUNKS, pc.LAN_BLOCK)
-            ).reshape(8, pc.SUB, GRID_LANES)
+        row = signed_digit2_words(scvec.scalar_to_row(s)[None])  # (1, 8)
+        one = np.broadcast_to(
+            row.reshape(8, 1, 1, 1), (8, pc.SUB, GRID_CHUNKS, pc.LAN_BLOCK)
         )
+        got = jnp.asarray(one.reshape(8, pc.SUB, GRID_LANES))
         if len(_const_grid_words_cache) > 64:
             _const_grid_words_cache.clear()
         _const_grid_words_cache[key] = got
@@ -271,7 +283,9 @@ def msm_grid(points_big: jnp.ndarray, words_big: jnp.ndarray,
 def fold_big(big: jnp.ndarray, wl_big: jnp.ndarray, wr_big: jnp.ndarray,
              valid_out: int) -> jnp.ndarray:
     """Capacity-array generator fold: out[i] = wl[i]*P[i] + wr[i]*P[i+v]
-    for chunk i < v = valid_out; chunks beyond v are unspecified."""
+    for chunk i < v = valid_out; chunks beyond v are unspecified.  Word
+    arrays use the signed-digit w2 encoding (grid_words(encode="w2") /
+    const_grid_words)."""
     assert 1 <= valid_out <= GRID_CHUNKS // 2
     return pc.fold_grid(big, wl_big, wr_big, _info(valid_out))
 

@@ -508,10 +508,10 @@ class _IppJob:
         if n >= CHUNK and self.G_big is not None:
             k = n // CHUNK
             if gl is not None:
-                wgl = ck.grid_words(gl, k, encode=None)
-                wgr = ck.grid_words(gr, k, encode=None)
-                whl = ck.grid_words(hl, k, encode=None)
-                whr = ck.grid_words(hr, k, encode=None)
+                wgl = ck.grid_words(gl, k, encode="w2")
+                wgr = ck.grid_words(gr, k, encode="w2")
+                whl = ck.grid_words(hl, k, encode="w2")
+                whr = ck.grid_words(hr, k, encode="w2")
             else:
                 wgl = whr = ck.const_grid_words(u_inv)
                 wgr = whl = ck.const_grid_words(u)

@@ -258,9 +258,8 @@ def emit_point_negate(p, neg):
     return (jnp.where(m, -X, X), Y, Z, jnp.where(m, -T, T))
 
 
-def _ladder_w4(pts, words_ref, with_reduce: bool):
-    ident = _identity_point(pts[0])
-    # multiple table t[k] = (k+1) * P for k = 0..7 (4 dbl + 3 add)
+def _build_w4_table(pts):
+    """Multiple table t[k] = (k+1) * P for k = 0..7 (4 dbl + 3 add)."""
     t2 = emit_point_double(pts)
     t3 = emit_point_add(t2, pts)
     t4 = emit_point_double(t2)
@@ -268,20 +267,30 @@ def _ladder_w4(pts, words_ref, with_reduce: bool):
     t6 = emit_point_double(t3)
     t7 = emit_point_add(t6, pts)
     t8 = emit_point_double(t4)
-    table = (pts, t2, t3, t4, t5, t6, t7, t8)
+    return (pts, t2, t3, t4, t5, t6, t7, t8)
+
+
+def _w4_digit_select(words_ref, pos, table, ident):
+    """Signed-nibble digit at `pos` -> d * P via lane-wise selects over the
+    multiple table (no dynamic VMEM addressing)."""
+    word = words_ref[pos // 8]
+    e = (word >> (4 * (pos % 8))) & 15
+    neg = e >= 8
+    mag = jnp.where(neg, 16 - e, e)  # e=8 -> d=-8 -> mag 8
+    sel = ident
+    for k in range(1, 9):
+        sel = emit_point_select(mag == k, table[k - 1], sel)
+    return emit_point_negate(sel, neg)
+
+
+def _ladder_w4(pts, words_ref, with_reduce: bool):
+    ident = _identity_point(pts[0])
+    table = _build_w4_table(pts)
 
     def body(j, acc):
         for _ in range(4):
             acc = emit_point_double(acc)
-        pos = 63 - j
-        word = words_ref[pos // 8]
-        e = (word >> (4 * (pos % 8))) & 15
-        neg = e >= 8
-        mag = jnp.where(neg, 16 - e, e)  # e=8 -> d=-8 -> mag 8
-        sel = ident
-        for k in range(1, 9):
-            sel = emit_point_select(mag == k, table[k - 1], sel)
-        sel = emit_point_negate(sel, neg)
+        sel = _w4_digit_select(words_ref, 63 - j, table, ident)
         return emit_point_add(acc, sel)
 
     acc = lax.fori_loop(0, 64, body, ident, unroll=False)
@@ -388,6 +397,41 @@ def msm_grid_acc(
     )(info, points, words, acc)
 
 
+def _w2_digit_select(words_ref, pos, p1, p2, ident):
+    """Signed base-4 digit at `pos` (encoding d & 3, d in [-2, 1]) ->
+    d * P via two lane-wise selects over {P, 2P} plus a negate."""
+    word = words_ref[pos // 16]
+    e = (word >> (2 * (pos % 16))) & 3
+    neg = e >= 2
+    mag = jnp.where(neg, 4 - e, e)  # e=2 -> d=-2 -> mag 2; e=3 -> d=-1
+    sel = emit_point_select(mag == 1, p1, ident)
+    sel = emit_point_select(mag == 2, p2, sel)
+    return emit_point_negate(sel, neg)
+
+
+def _emit_fold_w2(left, right, wl_ref, wr_ref):
+    """Dual 2-bit signed-digit ladder sharing doublings: wl*L + wr*R per
+    lane.  128 windows x (2 dbl + 2 table adds) with only {P, 2P} tables
+    (~516 point-ops vs 759 dual bit-serial) — and unlike the w4 dual
+    tables, the working set fits VMEM at full 256-lane blocks and the
+    small body keeps Mosaic compile time sane."""
+    ident = _identity_point(left[0])
+    l2 = emit_point_double(left)
+    r2 = emit_point_double(right)
+
+    def body(j, acc):
+        acc = emit_point_double(emit_point_double(acc))
+        pos = 127 - j
+        acc = emit_point_add(
+            acc, _w2_digit_select(wl_ref, pos, left, l2, ident)
+        )
+        return emit_point_add(
+            acc, _w2_digit_select(wr_ref, pos, right, r2, ident)
+        )
+
+    return lax.fori_loop(0, 128, body, ident, unroll=False)
+
+
 def _fold_grid_kernel(info_ref, l_ref, r_ref, wl_ref, wr_ref, o_ref):
     j = pl.program_id(0)
     v = info_ref[0]
@@ -396,7 +440,7 @@ def _fold_grid_kernel(info_ref, l_ref, r_ref, wl_ref, wr_ref, o_ref):
     def _step():
         _store_point(
             o_ref,
-            _emit_fold(
+            _emit_fold_w2(
                 _load_point(l_ref), _load_point(r_ref), wl_ref, wr_ref
             ),
         )
@@ -407,9 +451,15 @@ def fold_grid(left_right: jnp.ndarray, words_l: jnp.ndarray,
               words_r: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
     """Single-dispatch IPP generator fold over a capacity-shaped array:
     out chunk i = wl[i]*P[i] + wr[i]*P[i + v] for i < v = info[0] (info is
-    int32 [v, 0]).  Output chunks beyond v are unspecified (callers only
-    address lanes < v * LAN_BLOCK afterwards)."""
+    int32 [v, 0]); words hold packed 2-bit signed digits
+    (chunks.signed_digit2 encoding: grid_words(encode="w2") /
+    const_grid_words).  Output chunks beyond v are unspecified (callers
+    only address lanes < v * LAN_BLOCK afterwards)."""
     assert left_right.shape == (ROWS, SUB, GRID_LANES)
+    left_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
     right_spec = pl.BlockSpec(
         (ROWS, SUB, LAN_BLOCK),
         lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1) + info[0]),
@@ -423,15 +473,7 @@ def fold_grid(left_right: jnp.ndarray, words_l: jnp.ndarray,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(GRID_CHUNKS // 2,),
-            in_specs=[
-                pl.BlockSpec(
-                    (ROWS, SUB, LAN_BLOCK),
-                    lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
-                ),
-                right_spec,
-                _grid_wspec(),
-                _grid_wspec(),
-            ],
+            in_specs=[left_spec, right_spec, _grid_wspec(), _grid_wspec()],
             out_specs=out_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((ROWS, SUB, GRID_LANES), jnp.int32),

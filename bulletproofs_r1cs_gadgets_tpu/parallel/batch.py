@@ -52,19 +52,32 @@ def prove_provers(
     if backend is None or not hasattr(backend, "phase_commitments_batch"):
         return [p.prove(bp_gens, backend=backend) for p in provers]
 
-    # stage 1: phase-1 blindings + witness arrays, then ALL phase-1 MSMs
-    # with one fused sync
-    sts = [p._phase1_state(bp_gens) for p in provers]
-    triples = backend.phase_commitments_batch(
-        [p._phase1_msm_args(st) for p, st in zip(provers, sts)]
-    )
+    # Host stages run on a thread pool: each prover's work is independent
+    # and the heavy parts (C++ scvec ops, numpy encodes, flatten) release
+    # the GIL, so B middles overlap on the host cores.  Per prover the
+    # transcript/rng order is unchanged (a prover's own stages still run
+    # sequentially inside one task), so a prover with a deterministic
+    # PRIVATE rng still produces byte-identical proofs.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # stages 2-5 (host): challenges, flattening, l/r/t polynomials,
-    # T-commitments — per proof, between device stages
-    mids = [
-        p._prove_middle(st, *tr, bp_gens)
-        for p, st, tr in zip(provers, sts, triples)
-    ]
+    workers = min(8, len(provers))
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        # stage 1: phase-1 blindings + witness arrays (threaded), then ALL
+        # phase-1 MSMs with one fused sync
+        sts = list(pool.map(lambda p: p._phase1_state(bp_gens), provers))
+        triples = backend.phase_commitments_batch(
+            [p._phase1_msm_args(st) for p, st in zip(provers, sts)]
+        )
+
+        # stages 2-5 (host): challenges, flattening, l/r/t polynomials,
+        # T-commitments — per proof, threaded between device stages
+        mids = list(
+            pool.map(
+                lambda a: a[0]._prove_middle(a[1], *a[2], bp_gens),
+                zip(provers, sts, triples),
+            )
+        )
 
     # stage 6: all B inner-product arguments in lockstep rounds
     jobs = []
