@@ -39,7 +39,8 @@ class BatchResult:
 
 
 def prove_provers(
-    provers: list[Prover], bp_gens: BulletproofGens, backend=None
+    provers: list[Prover], bp_gens: BulletproofGens, backend=None,
+    host_workers: int | None = None,
 ) -> list[R1CSProof]:
     """Prove B fully-synthesized provers with staged device fusion.
 
@@ -48,7 +49,8 @@ def prove_provers(
     work across proofs — per proof, transcript operations and rng draws
     happen in the sequential path's order, so a prover with a
     deterministic private rng produces byte-identical proofs either
-    way."""
+    way.  ``host_workers=1`` additionally preserves the *cross-prover*
+    order of any shared (global) entropy source."""
     if backend is None or not hasattr(backend, "phase_commitments_batch"):
         return [p.prove(bp_gens, backend=backend) for p in provers]
 
@@ -60,7 +62,7 @@ def prove_provers(
     # PRIVATE rng still produces byte-identical proofs.
     from concurrent.futures import ThreadPoolExecutor
 
-    workers = min(8, len(provers))
+    workers = host_workers or min(8, len(provers))
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         # stage 1: phase-1 blindings + witness arrays (threaded), then ALL

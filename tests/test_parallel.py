@@ -107,8 +107,11 @@ def test_prove_provers_staged_matches_sequential():
         seq = [p.prove(BP) for p in build(1)]
         # reset the deterministic stream for the staged run
         fake_random.__defaults__[0]["i"] = 0
+        # host_workers=1: the stubbed entropy stream is shared across
+        # provers, so cross-prover draw order must match the sequential run
         staged = prove_provers(
-            build(1), BP, backend=DeviceBackend(min_device_n=1 << 30)
+            build(1), BP, backend=DeviceBackend(min_device_n=1 << 30),
+            host_workers=1,
         )
     finally:
         scvec.random = orig_random
@@ -119,3 +122,75 @@ def test_make_mesh_shapes():
     mesh = make_mesh()  # whatever devices exist
     assert set(mesh.axis_names) == {"batch", "points"}
     assert mesh.size >= 1
+
+
+def test_sharded_step_matches_host_oracles():
+    """make_sharded_step on the 8-device CPU mesh: the dp witness digests
+    must equal the host Poseidon Merkle chain, the tp MSM total must equal
+    the host multiscalar_mul, and both must equal the single-device
+    proving_step (VERDICT r1 weak item 7)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+
+    from bulletproofs_r1cs_gadgets_tpu.core.ristretto import (
+        RistrettoPoint,
+        multiscalar_mul,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon import (
+        Poseidon_hash_2,
+        SboxType,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.ops.curve import (
+        points_from_device,
+        points_to_device,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.ops.field import FQ, STORE
+    from bulletproofs_r1cs_gadgets_tpu.parallel import pipeline
+
+    B, W, N, NBITS = 8, 4, 8, 16
+    vals = [[3 * i + j + 1 for j in range(W)] for i in range(B)]
+    witness = FQ.to_device([v for row in vals for v in row]).reshape(
+        B, W, STORE
+    )
+    base = RistrettoPoint.basepoint()
+    pts = [base.scalar_mul(Scalar(i + 1)) for i in range(N)]
+    points = points_to_device(pts)
+    rng = np.random.RandomState(0)
+    ks = [int(rng.randint(1, 1 << 15)) for _ in range(N)]
+    bits = jnp.asarray(
+        np.array(
+            [[(k >> b) & 1 for b in range(NBITS)] for k in ks], np.int32
+        )
+    )
+
+    mesh = make_mesh(8, batch_axis=1, axis_names=("batch", "points"))
+    digest, checksum, total = pipeline.make_sharded_step(mesh)(
+        witness, points, bits
+    )
+    d1, c1 = jax.jit(pipeline.proving_step)(witness, points, bits)
+
+    # dp digests == host Poseidon chain (cube S-box, flagship geometry)
+    params = pipeline.flagship_hasher().params
+    exp = []
+    for row in vals:
+        acc = Scalar(row[0])
+        for v in row[1:]:
+            acc = Poseidon_hash_2(acc, Scalar(v), params, SboxType.Cube)
+        exp.append(acc.v)
+    assert FQ.to_ints(digest) == exp
+    assert FQ.to_ints(d1) == exp
+    from bulletproofs_r1cs_gadgets_tpu.utils.constants import L
+
+    assert FQ.to_ints(checksum[None])[0] == sum(exp) % L
+
+    # tp MSM total == host multiscalar_mul (and == single-device partial)
+    exp_pt = multiscalar_mul([Scalar(k) for k in ks], pts)
+    got = points_from_device(total[None])[0]
+    assert got == exp_pt
+    assert points_from_device(c1[None])[0] == exp_pt
