@@ -335,17 +335,16 @@ class Prover:
         return A_I1, A_O1, S1
 
     def prove(self, bp_gens: BulletproofGens, backend=None) -> R1CSProof:
-        import os as _os
         import time as _time
 
-        _timing = _os.environ.get("BPTPU_TIMING", "") not in ("", "0")
-        _marks = []
+        from ..utils.metrics import METRICS
+
+        _last = [_time.time()]
 
         def _mark(name):
-            if _timing:
-                _marks.append((name, _time.time()))
-
-        _mark("start")
+            now = _time.time()
+            METRICS.add_time(f"prove.{name}", now - _last[0])
+            _last[0] = now
         t = self.transcript
 
         # --- phase 1 commitments
@@ -382,15 +381,8 @@ class Prover:
             )
 
         _mark("ipp")
-        if _timing:
-            import sys as _sys
-
-            parts = ", ".join(
-                f"{name}={_marks[i+1][1]-_marks[i][1]:.2f}s"
-                for i, (name, _) in enumerate(_marks[1:], 0)
-                for name in [_marks[i + 1][0]]
-            )
-            print(f"[timing:prove] {parts}", file=_sys.stderr, flush=True)
+        METRICS.add_count("prove.proofs")
+        METRICS.dump_group("prove")
         return R1CSProof(*mid["fields"], ipp)
 
     def _prove_middle(

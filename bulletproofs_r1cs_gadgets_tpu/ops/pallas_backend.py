@@ -24,29 +24,24 @@ import time
 
 import numpy as np
 
-_TIMING = os.environ.get("BPTPU_TIMING", "") not in ("", "0")
+from ..utils.metrics import METRICS
+
+_TIMING = (
+    os.environ.get("BPTPU_TIMING", "") not in ("", "0")
+    or bool(os.environ.get("BPTPU_METRICS", ""))
+)
 
 
 class _Timer:
-    """Accumulates per-phase wall time when BPTPU_TIMING=1."""
-
-    def __init__(self):
-        self.acc: dict[str, float] = {}
+    """Per-phase wall time, recorded into the structured registry
+    (``utils.metrics.METRICS``) under the ``pallas.`` prefix; ``dump``
+    prints the stderr line when BPTPU_TIMING=1 and clears the group."""
 
     def add(self, name: str, dt: float):
-        self.acc[name] = self.acc.get(name, 0.0) + dt
+        METRICS.add_time(f"pallas.{name}", dt)
 
     def dump(self, label: str):
-        if self.acc:
-            import sys
-
-            total = sum(self.acc.values())
-            parts = ", ".join(
-                f"{k}={v:.2f}s" for k, v in sorted(self.acc.items())
-            )
-            print(f"[timing:{label}] total={total:.2f}s {parts}",
-                  file=sys.stderr, flush=True)
-        self.acc = {}
+        METRICS.dump_group("pallas", label)
 
 
 TIMER = _Timer()
