@@ -365,6 +365,7 @@ class Prover:
             ipp = backend.ipp_create(
                 t, mid["Q"], mid["G_factors"], mid["H_factors"],
                 gens, mid["padded_n"], mid["l_vec"], mid["r_vec"],
+                mid["ipp_meta"],
             )
         else:
             from .ipp import _skip_domain_sep
@@ -557,6 +558,11 @@ class Prover:
             Q=Q,
             G_factors=G_factors,
             H_factors=H_factors,
+            # structure of the factor vectors (G_factors piecewise at n1,
+            # H_factors x a geometric y^-i; l_vec zero beyond n): lets the
+            # device IPP fold generators by per-round constants and track
+            # the factors host-side (ops/pallas_backend._IppJob)
+            ipp_meta=dict(n1=n1, n_real=n, u=u, y_inv=y_inv),
             l_vec=l_vec,
             r_vec=r_vec,
             fields=(

@@ -206,8 +206,11 @@ class DeviceBackend:
 
     # ------------------------------------------------------------------ IPP
     def ipp_create(
-        self, transcript, Q, G_factors, H_factors, gens_share, padded_n, a, b
+        self, transcript, Q, G_factors, H_factors, gens_share, padded_n,
+        a, b, meta=None,
     ) -> InnerProductProof:
+        # `meta` (factor-vector structure, core/prover.py ipp_meta) is only
+        # exploited by PallasBackend; this oracle folds explicitly.
         # accept (n, 4) u64 arrays or Scalar lists; this backend is the
         # CPU-testable oracle, so it normalizes to lists and keeps the
         # straightforward flow

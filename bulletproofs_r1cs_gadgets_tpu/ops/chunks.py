@@ -290,6 +290,27 @@ def fold_big(big: jnp.ndarray, wl_big: jnp.ndarray, wr_big: jnp.ndarray,
     return pc.fold_grid(big, wl_big, wr_big, _info(valid_out))
 
 
+def fold_big_c(big: jnp.ndarray, valid_out: int, bp: int, cA, cB,
+               donate: bool) -> jnp.ndarray:
+    """Constant-scalar capacity fold: out[i] = P[i] + c_i * P[i + v] for
+    point index i < v*CHUNK, with c_i = cA for i < bp else cB (the
+    host-tracked factor-vector fold, see pallas_curve._emit_fold_c).
+    `donate=True` lets XLA fold in place (only when `big` is owned by the
+    caller, never for the shared generator cache array)."""
+    assert 1 <= valid_out <= GRID_CHUNKS // 2
+    rows = np.concatenate(
+        [scvec.scalar_to_row(cA)[None], scvec.scalar_to_row(cB)[None]]
+    )
+    digits = signed_digit_words(rows)  # (2, 8) int32
+    info = np.empty(18, dtype=np.int32)
+    info[0] = valid_out
+    info[1] = min(max(bp, 0), valid_out * CHUNK)
+    info[2:10] = digits[0]
+    info[10:18] = digits[1]
+    fn = pc.fold_grid_c_donate if donate else pc.fold_grid_c
+    return fn(big, info)
+
+
 @jax.jit
 def big_chunk0(big: jnp.ndarray) -> jnp.ndarray:
     """First 2048-point chunk of a capacity array (for IPP tail rounds)."""

@@ -50,6 +50,7 @@ from ..core.scalar import Scalar
 from ..core import scvec
 from ..core.ristretto import RistrettoPoint, multiscalar_mul
 from ..core.ipp import InnerProductProof, _skip_domain_sep
+from ..utils.constants import L as _L
 from . import chunks as ck
 
 MIN_DEVICE_N = 64
@@ -305,14 +306,16 @@ class PallasBackend:
 
     # ------------------------------------------------------------------ IPP
     def ipp_create(
-        self, transcript, Q, G_factors, H_factors, gens_share, padded_n, a, b
+        self, transcript, Q, G_factors, H_factors, gens_share, padded_n,
+        a, b, meta=None,
     ) -> InnerProductProof:
         """Caller has already appended the ``ipp v1`` domain separator;
         G_factors/H_factors/a/b are (n, 4) u64 arrays; generators come
-        from the per-gens chunk cache."""
+        from the per-gens chunk cache.  `meta` (core/prover.py ipp_meta:
+        n1/n_real/u/y_inv) enables the host-tracked factor folds."""
         return self.ipp_create_batch(
             [(transcript, Q, G_factors, H_factors, gens_share, padded_n,
-              a, b)]
+              a, b, meta)]
         )[0]
 
     def ipp_create_batch(self, jobs: list[tuple]) -> list[InnerProductProof]:
@@ -326,7 +329,7 @@ class PallasBackend:
         states: list[tuple[int, _IppJob]] = []
         for idx, job in enumerate(jobs):
             (transcript, Q, G_factors, H_factors, gens_share, padded_n,
-             a, b) = job
+             a, b) = job[:8]
             if padded_n < self.min_device_n:
                 out[idx] = InnerProductProof.create(
                     _skip_domain_sep(transcript), Q,
@@ -358,21 +361,70 @@ class PallasBackend:
         return out
 
 
+def _ratio_pieces(bp: int, m: int) -> tuple[int, int, int]:
+    """Piecewise shape of r_i = F[i+m]/F[i] for a 2-segment factor vector
+    F over [0, 2m) (value A on [0, bp), B on [bp, 2m), rho = B/A):
+    r_i = rho^powA for i < rbp else rho^powB.  Returns (powA, powB, rbp).
+
+    The engine's G_factors are [1]*n1 + [u]*rest and H_factors multiply
+    in a geometric y^-i (core/prover.py:_prove_middle), and a fold scales
+    the surviving half by one constant — so this 2-segment structure (and
+    rho == the phase challenge u) is invariant across all IPP rounds."""
+    if bp <= m:
+        return 1, 0, bp
+    return 0, 1, bp - m
+
+
+def _pw_rows(cA, cB, rbp: int, m: int) -> np.ndarray:
+    """(m, 4) u64 array: cA for index < rbp, cB beyond."""
+    j = min(max(rbp, 0), m)
+    return np.concatenate([
+        np.tile(scvec.scalar_to_row(cA), (j, 1)),
+        np.tile(scvec.scalar_to_row(cB), (m - j, 1)),
+    ])
+
+
+_ONES_ROWS_CACHE: dict[int, np.ndarray] = {}
+
+
+def _ones_rows(m: int) -> np.ndarray:
+    got = _ONES_ROWS_CACHE.get(m)
+    if got is None:
+        got = np.tile(scvec.scalar_to_row(Scalar.one()), (m, 1))
+        _ONES_ROWS_CACHE[m] = got
+    return got
+
+
 class _IppJob:
     """Per-proof state of a device-backed IPP, advanced one log-round at a
-    time by :meth:`PallasBackend.ipp_create_batch`."""
+    time by :meth:`PallasBackend.ipp_create_batch`.
+
+    Generator folding uses host-tracked factor vectors: the device arrays
+    hold D with true folded gens G' = F_i * D_i; each round folds D by
+    out = D_L + c * D_R with at most two c values (one breakpoint, see
+    :func:`_ratio_pieces`), and F folds by a single scalar on host.  The
+    factors multiply into the L/R MSM *scalars* (cheap C++ vector muls),
+    so folds need no per-lane scalar words, cost a single shared-table w4
+    ladder (~330 point-ops vs ~516 dual w2), and can run in place
+    (pallas_curve.fold_grid_c_donate) — proof bytes are unchanged."""
 
     def __init__(
         self, backend: PallasBackend, transcript, Q, G_factors, H_factors,
-        gens_share, padded_n, a, b,
+        gens_share, padded_n, a, b, meta=None,
     ):
         t0 = time.time() if _TIMING else 0
         self.t = transcript
         self.n = padded_n
         self.a = _as_array(a)
         self.b = _as_array(b)
-        self.G_factors = _as_array(G_factors)
-        self.H_factors = _as_array(H_factors)
+        # factor vectors (folded on host each round)
+        self.GF = _as_array(G_factors)
+        self.HF = _as_array(H_factors)
+        meta = meta or {}
+        self.bp = min(int(meta.get("n1", padded_n)), padded_n)
+        self.uphi = meta.get("u", Scalar.one())
+        self.y_inv = meta.get("y_inv", Scalar.one())
+        self._a_nz = int(meta.get("n_real", padded_n))
         k0 = _nchunks(padded_n)
         self.G_big = (
             backend._gens_big(gens_share, padded_n, "G") if k0 >= 2 else None
@@ -385,8 +437,9 @@ class _IppJob:
             # working chunk lists; >= n points valid in lanes [0, n)
             self.G = list(backend._gens_chunks(gens_share, padded_n, "G"))
             self.H = list(backend._gens_chunks(gens_share, padded_n, "H"))
+        # first fold reads the shared generator cache arrays -> no donation
+        self._owns_big = False
         self.qc = backend._cached_point_chunk("Q", Q)
-        self.first = True
         self.L_vec: list[bytes] = []
         self.R_vec: list[bytes] = []
         if _TIMING:
@@ -412,14 +465,15 @@ class _IppJob:
         self._halves = (a_L, a_R, b_L, b_R)
         self.c_L = scvec.inner(a_L, b_R)
         self.c_R = scvec.inner(a_R, b_L)
-        if self.first:
-            scG_L = scvec.mul(a_L, self.G_factors[n : 2 * n])
-            scH_L = scvec.mul(b_R, self.H_factors[:n])
-            scG_R = scvec.mul(a_R, self.G_factors[:n])
-            scH_R = scvec.mul(b_L, self.H_factors[n : 2 * n])
-        else:
-            scG_L, scH_L = a_L, b_R
-            scG_R, scH_R = a_R, b_L
+        # MSM scalars carry the host-tracked generator factors every round
+        scG_L = scvec.mul(a_L, self.GF[n : 2 * n])
+        scH_L = scvec.mul(b_R, self.HF[:n])
+        scG_R = scvec.mul(a_R, self.GF[:n])
+        scH_R = scvec.mul(b_L, self.HF[n : 2 * n])
+        # round 1 only: a is zero beyond the real multiplier count (l_vec
+        # pad is analytic zero), so a_R's MSM can skip whole-zero chunks
+        a_nz, self._a_nz = self._a_nz, 2 * n  # dense after the first fold
+        nzR = max(0, min(a_nz - n, n))
         if _TIMING:
             TIMER.add("ipp_host_scalars", time.time() - t0)
             t0 = time.time()
@@ -427,6 +481,7 @@ class _IppJob:
         G, H, qc = self.G, self.H, self.qc
         if n >= CHUNK and self.G_big is not None:
             k = n // CHUNK
+            kR = max(1, _nchunks(nzR)) if nzR < n else k
             accL = ck.msm_chain(
                 [qc], [ck.single_scalar_words(self.c_L)],
                 acc=ck.msm_grid(
@@ -441,7 +496,8 @@ class _IppJob:
                 acc=ck.msm_grid(
                     self.H_big, ck.grid_words(scH_R, k), k, offset=k,
                     acc=ck.msm_grid(
-                        self.G_big, ck.grid_words(scG_R, k), k
+                        self.G_big, ck.grid_words(scG_R[: kR * CHUNK], kR),
+                        kR,
                     ),
                 ),
             )
@@ -474,8 +530,9 @@ class _IppJob:
         return accL, accR
 
     def round_finish(self, L_pt, R_pt) -> None:
-        """Append L/R, take this proof's challenge, fold a/b on host and
-        queue the generator fold dispatches (NO sync)."""
+        """Append L/R, take this proof's challenge, fold a/b and the
+        factor vectors on host, and queue the constant-scalar generator
+        fold dispatches (NO sync)."""
         n = self.n
         a_L, a_R, b_L, b_R = self._halves
         L_c = L_pt.compress()
@@ -489,53 +546,52 @@ class _IppJob:
         t0 = time.time() if _TIMING else 0
         self.a = scvec.axpby(a_L, u, a_R, u_inv)
         self.b = scvec.axpby(b_L, u_inv, b_R, u)
-        if self.first:
-            gl = scvec.scale(self.G_factors[:n], u_inv)
-            gr = scvec.scale(self.G_factors[n : 2 * n], u)
-            hl = scvec.scale(self.H_factors[:n], u)
-            hr = scvec.scale(self.H_factors[n : 2 * n], u_inv)
-            self.first = False
-        else:
-            gl = gr = hl = hr = None  # constant folds
+        # fold constants: D'_i = D_i + c_i * D_{i+n} with c_i in {cA, cB}
+        # split at rbp (G side: true fold u_inv*G'_L + u*G'_R; H side:
+        # u*H'_L + u_inv*H'_R with the geometric y^-m ratio)
+        powA, powB, rbp = _ratio_pieces(self.bp, n)
+        one = Scalar.one()
+        rA = self.uphi if powA else one
+        rB = self.uphi if powB else one
+        u2 = u * u
+        hfac = u_inv * u_inv * Scalar(pow(self.y_inv.v, n, _L))
+        cG = (u2 * rA, u2 * rB)
+        cH = (hfac * rA, hfac * rB)
+        # factor vectors fold by one scalar; breakpoint survives clamped
+        self.GF = scvec.scale(self.GF[:n], u_inv)
+        self.HF = scvec.scale(self.HF[:n], u)
+        self.bp = min(self.bp, n)
         if _TIMING:
             TIMER.add("ipp_host_folds", time.time() - t0)
             t0 = time.time()
         if n >= CHUNK and self.G_big is not None:
             k = n // CHUNK
-            if gl is not None:
-                wgl = ck.grid_words(gl, k, encode="w2")
-                wgr = ck.grid_words(gr, k, encode="w2")
-                whl = ck.grid_words(hl, k, encode="w2")
-                whr = ck.grid_words(hr, k, encode="w2")
-            else:
-                wgl = whr = ck.const_grid_words(u_inv)
-                wgr = whl = ck.const_grid_words(u)
-            self.G_big = ck.fold_big(self.G_big, wgl, wgr, k)
-            self.H_big = ck.fold_big(self.H_big, whl, whr, k)
+            self.G_big = ck.fold_big_c(
+                self.G_big, k, rbp, cG[0], cG[1], donate=self._owns_big
+            )
+            self.H_big = ck.fold_big_c(
+                self.H_big, k, rbp, cH[0], cH[1], donate=self._owns_big
+            )
+            self._owns_big = True
         elif n >= CHUNK:
+            # chunk-list path (circuits beyond the grid capacity): dual
+            # bit-serial fold with ones on the left, c_i on the right
             k = n // CHUNK
-            if gl is not None:
-                wgl = ck.words_chunks(gl, k)
-                wgr = ck.words_chunks(gr, k)
-                whl = ck.words_chunks(hl, k)
-                whr = ck.words_chunks(hr, k)
-            else:
-                cu = ck.const_words(u, CHUNK)
-                cui = ck.const_words(u_inv, CHUNK)
-                wgl = [cui] * k
-                wgr = [cu] * k
-                whl = [cu] * k
-                whr = [cui] * k
-            self.G = ck.fold_chunks(self.G[: 2 * k], wgl, wgr)
-            self.H = ck.fold_chunks(self.H[: 2 * k], whl, whr)
+            wl = [ck.const_words(one, CHUNK)] * k
+            wgr = ck.words_chunks(_pw_rows(cG[0], cG[1], rbp, n), k)
+            whr = ck.words_chunks(_pw_rows(cH[0], cH[1], rbp, n), k)
+            self.G = ck.fold_chunks(self.G[: 2 * k], wl, wgr)
+            self.H = ck.fold_chunks(self.H[: 2 * k], wl, whr)
         else:
-            if gl is None:
-                gl = np.tile(scvec.scalar_to_row(u_inv), (n, 1))
-                gr = np.tile(scvec.scalar_to_row(u), (n, 1))
-                hl = gr
-                hr = gl
-            self.G = [ck.tail_fold(self.G[0], n, gl, gr)]
-            self.H = [ck.tail_fold(self.H[0], n, hl, hr)]
+            ones = _ones_rows(n)
+            self.G = [
+                ck.tail_fold(self.G[0], n, ones,
+                             _pw_rows(cG[0], cG[1], rbp, n))
+            ]
+            self.H = [
+                ck.tail_fold(self.H[0], n, ones,
+                             _pw_rows(cH[0], cH[1], rbp, n))
+            ]
         if _TIMING:
             TIMER.add("fold_dispatch", time.time() - t0)
 

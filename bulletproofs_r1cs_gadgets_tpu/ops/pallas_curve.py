@@ -397,6 +397,101 @@ def msm_grid_acc(
     )(info, points, words, acc)
 
 
+def _emit_fold_c(left, right, info_ref, j):
+    """out = L_i + c_i * R_i per lane, where c_i is one of TWO scalars
+    chosen by global point index: cA for index < bp, cB otherwise.
+
+    The IPP generator fold with host-tracked factor vectors: because the
+    engine's G_factors are piecewise-constant ([1]*n1 + [u]*rest,
+    core/prover.py:_prove_middle) and H_factors multiply in a geometric
+    y^-i, the per-round fold ratio c_i = u^2 * F[i+m]/F[i] takes at most
+    two values with one breakpoint.  The per-lane factors fold into the
+    MSM *scalars* on host, so the device fold needs no per-lane scalar
+    words at all: digits of cA/cB ride the scalar-prefetch info vector
+    (w4 signed nibbles), and the single shared-table ladder costs ~330
+    point-ops vs ~516 for the dual per-lane-words w2 fold.
+
+    info layout (int32): [0]=valid_chunks v, [1]=bp (output point index),
+    [2:10]=cA nibble words, [10:18]=cB nibble words."""
+    ident = _identity_point(right[0])
+    table = _build_w4_table(right)
+    lan = right[0].shape[-1]  # LAN_BLOCK in-kernel; shape-generic for tests
+    base = j * (SUB * lan)
+    idx = (
+        base
+        + lax.broadcasted_iota(jnp.int32, (SUB, lan), 0) * lan
+        + lax.broadcasted_iota(jnp.int32, (SUB, lan), 1)
+    )
+    maskA = idx < info_ref[1]
+
+    def body(t, acc):
+        for _ in range(4):
+            acc = emit_point_double(acc)
+        pos = 63 - t
+        wA = info_ref[2 + pos // 8]
+        wB = info_ref[10 + pos // 8]
+        eA = (wA >> (4 * (pos % 8))) & 15
+        eB = (wB >> (4 * (pos % 8))) & 15
+        e = jnp.where(maskA, eA, eB)
+        neg = e >= 8
+        mag = jnp.where(neg, 16 - e, e)
+        sel = ident
+        for k in range(1, 9):
+            sel = emit_point_select(mag == k, table[k - 1], sel)
+        return emit_point_add(acc, emit_point_negate(sel, neg))
+
+    acc = lax.fori_loop(0, 64, body, ident, unroll=False)
+    return emit_point_add(acc, left)
+
+
+def _fold_c_kernel(info_ref, l_ref, r_ref, o_ref):
+    j = pl.program_id(0)
+    v = info_ref[0]
+
+    @pl.when(j < v)
+    def _step():
+        _store_point(
+            o_ref,
+            _emit_fold_c(_load_point(l_ref), _load_point(r_ref), info_ref, j),
+        )
+
+
+def _fold_c_call(big: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
+    assert big.shape == (ROWS, SUB, GRID_LANES)
+    left_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
+    right_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1) + info[0]),
+    )
+    out_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
+    return pl.pallas_call(
+        _fold_c_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(GRID_CHUNKS // 2,),
+            in_specs=[left_spec, right_spec],
+            out_specs=out_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, GRID_LANES), jnp.int32),
+    )(info, big, big)
+
+
+fold_grid_c = jax.jit(_fold_c_call)
+
+# Donating variant for rounds >= 2: the job owns its capacity array, so XLA
+# may write the folded output in place (writes go to chunks [0, v) which are
+# only read at the same grid step; reads of the right half [v, 2v) are never
+# overwritten) — this removes a 96 MB allocation per fold round, the main
+# HBM-pressure term of batched proving.
+fold_grid_c_donate = jax.jit(_fold_c_call, donate_argnums=(0,))
+
+
 def _w2_digit_select(words_ref, pos, p1, p2, ident):
     """Signed base-4 digit at `pos` (encoding d & 3, d in [-2, 1]) ->
     d * P via two lane-wise selects over {P, 2P} plus a negate."""

@@ -88,6 +88,7 @@ def prove_provers(
         jobs.append((
             p.transcript, mid["Q"], mid["G_factors"], mid["H_factors"],
             st["gens"], mid["padded_n"], mid["l_vec"], mid["r_vec"],
+            mid["ipp_meta"],
         ))
     ipps = backend.ipp_create_batch(jobs)
     return [

@@ -112,6 +112,37 @@ def test_emit_fold_w2_per_lane():
     assert all(g == e for g, e in zip(got, exp))
 
 
+@pytest.mark.slow
+def test_emit_fold_c_per_lane():
+    """_emit_fold_c: lane i ends at L_i + c_i * R_i with c_i = cA for
+    global point index < bp else cB — the constant-scalar IPP generator
+    fold (digits ride the scalar-prefetch info vector).  Exercises a
+    breakpoint strictly inside the block and a nonzero block index j."""
+    ls, rs = _rand_points(N), _rand_points(N)
+    cA, cB = Scalar(rnd.randrange(L)), Scalar(rnd.randrange(L))
+    for j, bp in ((0, 23), (1, N + 9), (0, 0), (0, 2 * N)):
+        info = np.empty(18, dtype=np.int32)
+        info[0] = 1
+        info[1] = bp
+        rows = np.concatenate(
+            [scvec.scalar_to_row(cA)[None], scvec.scalar_to_row(cB)[None]]
+        )
+        digits = ck.signed_digit_words(rows)
+        info[2:10] = digits[0]
+        info[10:18] = digits[1]
+        fn = jax.jit(
+            lambda l, r, i: pc._emit_fold_c(l, r, i, j), static_argnums=()
+        )
+        got = _from_stacked(fn(_to_stacked(ls), _to_stacked(rs),
+                               jnp.asarray(info)))
+        base = j * N
+        exp = [
+            l + r.scalar_mul(cA if base + i < bp else cB)
+            for i, (l, r) in enumerate(zip(ls, rs))
+        ]
+        assert got == exp, (j, bp)
+
+
 def test_signed_digit2_words_decode():
     """w2 encoding decodes back: digit i holds (d_i & 3) with
     d_i in [-2, 1] and sum d_i 4^i == scalar."""

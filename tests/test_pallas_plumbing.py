@@ -42,7 +42,10 @@ def fake_kernels(monkeypatch):
     """Replace the TPU pallas kernels with shape-correct fakes and count
     calls per entry point; fetch_points returns base-point copies so
     transcript appends and compressions stay on real group elements."""
-    calls = {"msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0}
+    calls = {
+        "msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0,
+        "fold_grid_c": 0, "fold_grid_c_donate": 0,
+    }
 
     def msm_chunk_acc_w4(points, words, acc):
         calls["msm_chunk"] += 1
@@ -70,6 +73,18 @@ def fake_kernels(monkeypatch):
         assert 1 <= int(info[0]) <= pc.GRID_CHUNKS // 2
         return left_right
 
+    def _fold_grid_c(name):
+        def fake(left_right, info):
+            calls[name] += 1
+            assert left_right.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+            assert info.shape == (18,) and info.dtype == np.int32
+            v, bp = int(info[0]), int(info[1])
+            assert 1 <= v <= pc.GRID_CHUNKS // 2
+            assert 0 <= bp <= v * ck.CHUNK
+            return left_right
+
+        return fake
+
     B = PedersenGens.default().B
 
     def fetch_points(accs):
@@ -81,6 +96,10 @@ def fake_kernels(monkeypatch):
     monkeypatch.setattr(pc, "fold_chunk", fold_chunk)
     monkeypatch.setattr(pc, "msm_grid_acc", msm_grid_acc)
     monkeypatch.setattr(pc, "fold_grid", fold_grid)
+    monkeypatch.setattr(pc, "fold_grid_c", _fold_grid_c("fold_grid_c"))
+    monkeypatch.setattr(
+        pc, "fold_grid_c_donate", _fold_grid_c("fold_grid_c_donate")
+    )
     monkeypatch.setattr(ck, "fetch_points", fetch_points)
     from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
 
@@ -119,7 +138,10 @@ def test_prover_grid_branches(fake_kernels, gens):
     blob = proof.to_bytes()
     assert len(blob) > 0
     assert fake_kernels["msm_grid"] >= 6  # 3 phase-1 cmts + 2x2 L/R rounds
-    assert fake_kernels["fold_grid"] >= 4  # factor + const rounds, G and H
+    # round 1 folds read the shared gens cache (no donation); round 2
+    # folds own their capacity arrays and fold in place
+    assert fake_kernels["fold_grid_c"] >= 2
+    assert fake_kernels["fold_grid_c_donate"] >= 2
     assert fake_kernels["msm_chunk"] >= 10  # blindings, Q terms, tail rnds
     assert fake_kernels["fold_chunk"] >= 0
 
