@@ -290,25 +290,37 @@ def fold_big(big: jnp.ndarray, wl_big: jnp.ndarray, wr_big: jnp.ndarray,
     return pc.fold_grid(big, wl_big, wr_big, _info(valid_out))
 
 
+def _c_fold_words(cA, cB, bp: int, k: int) -> jnp.ndarray:
+    """Capacity word array (w4 signed digits) for the piecewise-constant
+    fold scalar: cA for point index < bp, cB beyond, over k chunks.  Only
+    the straddled chunk needs per-lane rows; the rest broadcast one row."""
+    dA = signed_digit_words(scvec.scalar_to_row(cA)[None])[0]  # (8,)
+    dB = signed_digit_words(scvec.scalar_to_row(cB)[None])[0]
+    w = np.empty((k * CHUNK, 8), np.int32)
+    j = min(max(bp, 0), k * CHUNK)
+    w[:j] = dA
+    w[j:] = dB
+    # chunk-major capacity layout: word j of point i lives at
+    # [j, (i % CHUNK) // LAN_BLOCK, (i // CHUNK) * LAN_BLOCK + i % LAN_BLOCK]
+    cat = jnp.asarray(
+        np.ascontiguousarray(
+            w.reshape(k, pc.SUB, pc.LAN_BLOCK, 8).transpose(3, 1, 0, 2)
+        ).reshape(8, pc.SUB, k * pc.LAN_BLOCK)
+    )
+    return _pad_to_capacity(cat) if k < GRID_CHUNKS else cat
+
+
 def fold_big_c(big: jnp.ndarray, valid_out: int, bp: int, cA, cB,
                donate: bool) -> jnp.ndarray:
     """Constant-scalar capacity fold: out[i] = P[i] + c_i * P[i + v] for
     point index i < v*CHUNK, with c_i = cA for i < bp else cB (the
-    host-tracked factor-vector fold, see pallas_curve._emit_fold_c).
+    host-tracked factor-vector fold, see pallas_curve._fold_c_kernel).
     `donate=True` lets XLA fold in place (only when `big` is owned by the
     caller, never for the shared generator cache array)."""
     assert 1 <= valid_out <= GRID_CHUNKS // 2
-    rows = np.concatenate(
-        [scvec.scalar_to_row(cA)[None], scvec.scalar_to_row(cB)[None]]
-    )
-    digits = signed_digit_words(rows)  # (2, 8) int32
-    info = np.empty(18, dtype=np.int32)
-    info[0] = valid_out
-    info[1] = min(max(bp, 0), valid_out * CHUNK)
-    info[2:10] = digits[0]
-    info[10:18] = digits[1]
+    words = _c_fold_words(cA, cB, bp, valid_out)
     fn = pc.fold_grid_c_donate if donate else pc.fold_grid_c
-    return fn(big, info)
+    return fn(big, words, _info(valid_out))
 
 
 @jax.jit

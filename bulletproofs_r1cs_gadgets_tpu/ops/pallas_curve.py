@@ -397,67 +397,33 @@ def msm_grid_acc(
     )(info, points, words, acc)
 
 
-def _emit_fold_c(left, right, info_ref, j):
-    """out = L_i + c_i * R_i per lane, where c_i is one of TWO scalars
-    chosen by global point index: cA for index < bp, cB otherwise.
-
-    The IPP generator fold with host-tracked factor vectors: because the
-    engine's G_factors are piecewise-constant ([1]*n1 + [u]*rest,
-    core/prover.py:_prove_middle) and H_factors multiply in a geometric
-    y^-i, the per-round fold ratio c_i = u^2 * F[i+m]/F[i] takes at most
-    two values with one breakpoint.  The per-lane factors fold into the
-    MSM *scalars* on host, so the device fold needs no per-lane scalar
-    words at all: digits of cA/cB ride the scalar-prefetch info vector
-    (w4 signed nibbles), and the single shared-table ladder costs ~330
-    point-ops vs ~516 for the dual per-lane-words w2 fold.
-
-    info layout (int32): [0]=valid_chunks v, [1]=bp (output point index),
-    [2:10]=cA nibble words, [10:18]=cB nibble words."""
-    ident = _identity_point(right[0])
-    table = _build_w4_table(right)
-    lan = right[0].shape[-1]  # LAN_BLOCK in-kernel; shape-generic for tests
-    base = j * (SUB * lan)
-    idx = (
-        base
-        + lax.broadcasted_iota(jnp.int32, (SUB, lan), 0) * lan
-        + lax.broadcasted_iota(jnp.int32, (SUB, lan), 1)
-    )
-    maskA = idx < info_ref[1]
-
-    def body(t, acc):
-        for _ in range(4):
-            acc = emit_point_double(acc)
-        pos = 63 - t
-        wA = info_ref[2 + pos // 8]
-        wB = info_ref[10 + pos // 8]
-        eA = (wA >> (4 * (pos % 8))) & 15
-        eB = (wB >> (4 * (pos % 8))) & 15
-        e = jnp.where(maskA, eA, eB)
-        neg = e >= 8
-        mag = jnp.where(neg, 16 - e, e)
-        sel = ident
-        for k in range(1, 9):
-            sel = emit_point_select(mag == k, table[k - 1], sel)
-        return emit_point_add(acc, emit_point_negate(sel, neg))
-
-    acc = lax.fori_loop(0, 64, body, ident, unroll=False)
-    return emit_point_add(acc, left)
-
-
-def _fold_c_kernel(info_ref, l_ref, r_ref, o_ref):
+def _fold_c_kernel(info_ref, l_ref, r_ref, w_ref, o_ref):
+    """out = L_i + c_i * R_i per lane: the IPP generator fold with host-
+    tracked factor vectors.  Because the engine's G_factors are piecewise
+    constant ([1]*n1 + [u]*rest, core/prover.py:_prove_middle) and
+    H_factors multiply in a geometric y^-i, the per-round fold ratio
+    c_i = u^2 * F[i+m]/F[i] takes at most TWO values with one breakpoint;
+    the host materialises those digits into `w_ref` (signed w4 nibbles,
+    chunks.fold_big_c).  Per-lane factors fold into the MSM *scalars* on
+    host, so this single shared-table ladder (~330 point-ops/lane) replaces
+    the dual per-lane w2 fold (~516) and 3/4 of its word uploads.  The
+    ladder/select structure is exactly `_ladder_w4` (the proven-to-compile
+    MSM kernel body) plus one add."""
     j = pl.program_id(0)
     v = info_ref[0]
 
     @pl.when(j < v)
     def _step():
+        prod = _ladder_w4(_load_point(r_ref), w_ref, False)
         _store_point(
-            o_ref,
-            _emit_fold_c(_load_point(l_ref), _load_point(r_ref), info_ref, j),
+            o_ref, emit_point_add(prod, _load_point(l_ref))
         )
 
 
-def _fold_c_call(big: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
+def _fold_c_call(big: jnp.ndarray, words: jnp.ndarray,
+                 info: jnp.ndarray) -> jnp.ndarray:
     assert big.shape == (ROWS, SUB, GRID_LANES)
+    assert words.shape == (8, SUB, GRID_LANES)
     left_spec = pl.BlockSpec(
         (ROWS, SUB, LAN_BLOCK),
         lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
@@ -475,11 +441,11 @@ def _fold_c_call(big: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(GRID_CHUNKS // 2,),
-            in_specs=[left_spec, right_spec],
+            in_specs=[left_spec, right_spec, _grid_wspec()],
             out_specs=out_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((ROWS, SUB, GRID_LANES), jnp.int32),
-    )(info, big, big)
+    )(info, big, big, words)
 
 
 fold_grid_c = jax.jit(_fold_c_call)

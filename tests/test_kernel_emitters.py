@@ -113,34 +113,39 @@ def test_emit_fold_w2_per_lane():
 
 
 @pytest.mark.slow
-def test_emit_fold_c_per_lane():
-    """_emit_fold_c: lane i ends at L_i + c_i * R_i with c_i = cA for
-    global point index < bp else cB — the constant-scalar IPP generator
-    fold (digits ride the scalar-prefetch info vector).  Exercises a
-    breakpoint strictly inside the block and a nonzero block index j."""
+def test_fold_c_body_per_lane():
+    """The constant-scalar fold kernel body (pallas_curve._fold_c_kernel):
+    lane i ends at L_i + c_i * R_i, with the piecewise-c digits built by
+    chunks._c_fold_words semantics (cA below the breakpoint, cB beyond).
+    The ladder is _ladder_w4 (also covered by test_ladder_w4_per_lane);
+    this pins the fold composition."""
     ls, rs = _rand_points(N), _rand_points(N)
     cA, cB = Scalar(rnd.randrange(L)), Scalar(rnd.randrange(L))
-    for j, bp in ((0, 23), (1, N + 9), (0, 0), (0, 2 * N)):
-        info = np.empty(18, dtype=np.int32)
-        info[0] = 1
-        info[1] = bp
-        rows = np.concatenate(
-            [scvec.scalar_to_row(cA)[None], scvec.scalar_to_row(cB)[None]]
-        )
-        digits = ck.signed_digit_words(rows)
-        info[2:10] = digits[0]
-        info[10:18] = digits[1]
+    for bp in (23, 0, N):
+        cs = [cA if i < bp else cB for i in range(N)]
+        words = _words(cs, ck.signed_digit_words)
         fn = jax.jit(
-            lambda l, r, i: pc._emit_fold_c(l, r, i, j), static_argnums=()
+            lambda l, r, w: pc.emit_point_add(pc._ladder_w4(r, w, False), l)
         )
-        got = _from_stacked(fn(_to_stacked(ls), _to_stacked(rs),
-                               jnp.asarray(info)))
-        base = j * N
-        exp = [
-            l + r.scalar_mul(cA if base + i < bp else cB)
-            for i, (l, r) in enumerate(zip(ls, rs))
-        ]
-        assert got == exp, (j, bp)
+        got = _from_stacked(fn(_to_stacked(ls), _to_stacked(rs), words))
+        exp = [l + r.scalar_mul(c) for l, r, c in zip(ls, rs, cs)]
+        assert got == exp, bp
+
+
+def test_c_fold_words_layout():
+    """_c_fold_words equals the generic grid_words(w4) encode of the
+    materialised piecewise rows (fast path correctness incl. the
+    chunk-major transpose)."""
+    from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import _pw_rows
+
+    cA, cB = Scalar(12345), Scalar(L - 7)
+    k = 3
+    for bp in (0, 100, ck.CHUNK + 17, k * ck.CHUNK):
+        fast = np.asarray(ck._c_fold_words(cA, cB, bp, k))
+        slow = np.asarray(
+            ck.grid_words(_pw_rows(cA, cB, bp, k * ck.CHUNK), k, encode="w4")
+        )
+        assert np.array_equal(fast, slow), bp
 
 
 def test_signed_digit2_words_decode():

@@ -74,13 +74,12 @@ def fake_kernels(monkeypatch):
         return left_right
 
     def _fold_grid_c(name):
-        def fake(left_right, info):
+        def fake(left_right, words, info):
             calls[name] += 1
             assert left_right.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
-            assert info.shape == (18,) and info.dtype == np.int32
-            v, bp = int(info[0]), int(info[1])
+            assert words.shape == (8, pc.SUB, pc.GRID_LANES)
+            v = int(info[0])
             assert 1 <= v <= pc.GRID_CHUNKS // 2
-            assert 0 <= bp <= v * ck.CHUNK
             return left_right
 
         return fake
