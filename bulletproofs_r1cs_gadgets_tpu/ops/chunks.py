@@ -329,6 +329,47 @@ def big_chunk0(big: jnp.ndarray) -> jnp.ndarray:
     return big[:, :, : pc.LAN_BLOCK]
 
 
+# ------------------------------------------------------- fused pair MSMs
+@jax.jit
+def _pair_cat(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([lo, hi], axis=2)
+
+
+@jax.jit
+def pair_lo(out: jnp.ndarray) -> jnp.ndarray:
+    return out[:, :, : pc.LAN_BLOCK]
+
+
+@jax.jit
+def pair_hi(out: jnp.ndarray) -> jnp.ndarray:
+    return out[:, :, pc.LAN_BLOCK :]
+
+
+def msm_grid_pair(points_big: jnp.ndarray, words_big: jnp.ndarray,
+                  valid_half: int, acc_lo=None, acc_hi=None,
+                  lo_limit: int | None = None,
+                  hi_limit: int | None = None) -> jnp.ndarray:
+    """One walk of a capacity array computing TWO chained MSMs: chunks
+    [0, v) accumulate into the low output block, [v, 2v) into the high
+    one (v = valid_half).  lo/hi_limit skip compute for known-zero scalar
+    chunks beyond that offset within each half.  Returns the (92, 8, 512)
+    pair; split with :func:`pair_lo` / :func:`pair_hi`."""
+    assert 1 <= valid_half and 2 * valid_half <= GRID_CHUNKS
+    acc2 = _pair_cat(
+        ident_chunk() if acc_lo is None else acc_lo,
+        ident_chunk() if acc_hi is None else acc_hi,
+    )
+    info = np.array(
+        [
+            valid_half,
+            valid_half if lo_limit is None else max(0, lo_limit),
+            valid_half if hi_limit is None else max(0, hi_limit),
+        ],
+        dtype=np.int32,
+    )
+    return pc.msm_grid_pair(points_big, words_big, acc2, info)
+
+
 # --------------------------------------------------------------- MSM chain
 def msm_chain(pts_chunks, word_chunks, acc=None) -> jnp.ndarray:
     """Chained MSM over aligned chunk lists (signed-digit words); returns

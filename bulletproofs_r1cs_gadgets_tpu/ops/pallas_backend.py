@@ -480,26 +480,28 @@ class _IppJob:
         self._to_chunks_if_tail()
         G, H, qc = self.G, self.H, self.qc
         if n >= CHUNK and self.G_big is not None:
+            # fused pair walks: G_big chunks [0,k) carry scG_R -> R and
+            # [k,2k) carry scG_L -> L; H_big [0,k) carry scH_L -> L and
+            # [k,2k) carry scH_R -> R.  2 dispatches + 2 Q chains/round.
             k = n // CHUNK
             kR = max(1, _nchunks(nzR)) if nzR < n else k
+            pG = ck.msm_grid_pair(
+                self.G_big,
+                ck.grid_words(np.concatenate([scG_R, scG_L]), 2 * k),
+                k, lo_limit=kR,
+            )
+            pH = ck.msm_grid_pair(
+                self.H_big,
+                ck.grid_words(np.concatenate([scH_L, scH_R]), 2 * k),
+                k, acc_lo=ck.pair_hi(pG), acc_hi=ck.pair_lo(pG),
+            )
             accL = ck.msm_chain(
                 [qc], [ck.single_scalar_words(self.c_L)],
-                acc=ck.msm_grid(
-                    self.H_big, ck.grid_words(scH_L, k), k,
-                    acc=ck.msm_grid(
-                        self.G_big, ck.grid_words(scG_L, k), k, offset=k
-                    ),
-                ),
+                acc=ck.pair_lo(pH),
             )
             accR = ck.msm_chain(
                 [qc], [ck.single_scalar_words(self.c_R)],
-                acc=ck.msm_grid(
-                    self.H_big, ck.grid_words(scH_R, k), k, offset=k,
-                    acc=ck.msm_grid(
-                        self.G_big, ck.grid_words(scG_R[: kR * CHUNK], kR),
-                        kR,
-                    ),
-                ),
+                acc=ck.pair_hi(pH),
             )
         elif n >= CHUNK:
             k = n // CHUNK

@@ -458,6 +458,81 @@ fold_grid_c = jax.jit(_fold_c_call)
 fold_grid_c_donate = jax.jit(_fold_c_call, donate_argnums=(0,))
 
 
+# ------------------------------------------------------ fused pair grid MSM
+# The IPP needs, per log-round, FOUR generator-segment MSMs: the L point
+# takes <scG_L, D[v:2v)> + <scH_L, D_H[0:v)>, the R point the complements.
+# One pair dispatch walks all 2v valid chunks of ONE capacity array and
+# accumulates the low half into output block 0 and the high half into
+# block 1 (two accumulators, reduced at each half's last step) — so a
+# round costs 2 pair dispatches + 2 Q chains instead of 4 grid MSMs + 2
+# chains, with one fused words upload per array instead of two.
+def _msm_grid_pair_kernel(info_ref, p_ref, w_ref, acc_ref, o_ref):
+    j = pl.program_id(0)
+    v = info_ref[0]
+    active = jnp.where(j < v, j < info_ref[1], (j - v) < info_ref[2])
+
+    @pl.when((j == 0) | (j == v))
+    def _init():
+        _store_point(
+            o_ref,
+            _identity_point(jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32)),
+        )
+
+    @pl.when(active & (j < 2 * v))
+    def _step():
+        part = _ladder_w4(_load_point(p_ref), w_ref, False)
+        _store_point(o_ref, emit_point_add(_load_point(o_ref), part))
+
+    @pl.when((j == v - 1) | (j == 2 * v - 1))
+    def _final():
+        tot = emit_block_reduce(_load_point(o_ref))
+        _store_point(o_ref, emit_point_add(tot, _load_point(acc_ref)))
+
+
+@jax.jit
+def msm_grid_pair(
+    points: jnp.ndarray, words: jnp.ndarray, acc2: jnp.ndarray,
+    info: jnp.ndarray,
+) -> jnp.ndarray:
+    """Two MSMs in one capacity-array walk.
+
+    points (92, 8, GRID_LANES); words (8, 8, GRID_LANES) signed w4 digits;
+    acc2 (92, 8, 2*LAN_BLOCK) holding the low-half chain accumulator in
+    block 0 and the high-half one in block 1; info = int32
+    [v, lo_limit, hi_limit]: chunks [0, v) reduce into output block 0 and
+    chunks [v, 2v) into block 1, with compute skipped for chunk offsets
+    beyond each half's limit (known-zero scalar regions, e.g. the padded
+    witness half in IPP round 1).  Returns the updated (92, 8, 512) pair
+    of position-uniform accumulators."""
+    assert points.shape == (ROWS, SUB, GRID_LANES)
+    assert words.shape == (8, SUB, GRID_LANES)
+    assert acc2.shape == (ROWS, SUB, 2 * LAN_BLOCK)
+    pair_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.where(j < info[0], 0, 1)),
+    )
+    return pl.pallas_call(
+        _msm_grid_pair_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(GRID_CHUNKS,),
+            in_specs=[
+                pl.BlockSpec(
+                    (ROWS, SUB, LAN_BLOCK),
+                    lambda j, info: (0, 0, jnp.minimum(j, 2 * info[0] - 1)),
+                ),
+                pl.BlockSpec(
+                    (8, SUB, LAN_BLOCK),
+                    lambda j, info: (0, 0, jnp.minimum(j, 2 * info[0] - 1)),
+                ),
+                pair_spec,
+            ],
+            out_specs=pair_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, 2 * LAN_BLOCK), jnp.int32),
+    )(info, points, words, acc2)
+
+
 def _w2_digit_select(words_ref, pos, p1, p2, ident):
     """Signed base-4 digit at `pos` (encoding d & 3, d in [-2, 1]) ->
     d * P via two lane-wise selects over {P, 2P} plus a negate."""

@@ -44,7 +44,7 @@ def fake_kernels(monkeypatch):
     transcript appends and compressions stay on real group elements."""
     calls = {
         "msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0,
-        "fold_grid_c": 0, "fold_grid_c_donate": 0,
+        "fold_grid_c": 0, "fold_grid_c_donate": 0, "msm_grid_pair": 0,
     }
 
     def msm_chunk_acc_w4(points, words, acc):
@@ -84,6 +84,16 @@ def fake_kernels(monkeypatch):
 
         return fake
 
+    def msm_grid_pair(points, words, acc2, info):
+        calls["msm_grid_pair"] += 1
+        assert points.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+        assert words.shape == (8, pc.SUB, pc.GRID_LANES)
+        assert acc2.shape == (pc.ROWS, pc.SUB, 2 * pc.LAN_BLOCK)
+        v, lo, hi = (int(x) for x in info)
+        assert 1 <= v and 2 * v <= pc.GRID_CHUNKS
+        assert 0 <= lo <= v and 0 <= hi <= v
+        return acc2
+
     B = PedersenGens.default().B
 
     def fetch_points(accs):
@@ -99,6 +109,7 @@ def fake_kernels(monkeypatch):
     monkeypatch.setattr(
         pc, "fold_grid_c_donate", _fold_grid_c("fold_grid_c_donate")
     )
+    monkeypatch.setattr(pc, "msm_grid_pair", msm_grid_pair)
     monkeypatch.setattr(ck, "fetch_points", fetch_points)
     from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
 
@@ -136,7 +147,8 @@ def test_prover_grid_branches(fake_kernels, gens):
     _, _, proof = _prove(gens, PallasBackend())
     blob = proof.to_bytes()
     assert len(blob) > 0
-    assert fake_kernels["msm_grid"] >= 6  # 3 phase-1 cmts + 2x2 L/R rounds
+    assert fake_kernels["msm_grid"] >= 5  # phase-1 commitment walks
+    assert fake_kernels["msm_grid_pair"] >= 4  # 2 rounds x (G, H) walks
     # round 1 folds read the shared gens cache (no donation); round 2
     # folds own their capacity arrays and fold in place
     assert fake_kernels["fold_grid_c"] >= 2
