@@ -376,14 +376,21 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
         f"({serial_dt/(dt/B):.2f}x serial)"
     )
 
-    # verify every batched proof
+    # verify every batched proof — combined into ONE mega-MSM
+    from bulletproofs_r1cs_gadgets_tpu import batch_verify
+
     t0 = time.time()
-    for proof, (_, comms) in zip(proofs, provers):
+    verifiers = []
+    for _, comms in provers:
         verifier = Verifier(Transcript(b"VSMT"))
         comp.commit_verifier(verifier, comms, pc_gens)
         verifier.load_compiled(tape, comp.num_multipliers)
-        verifier.verify(proof, pc_gens, bp_gens, backend=backend)
-    log(f"[stage4] all {B} proofs VERIFIED in {time.time()-t0:.1f}s")
+        verifiers.append(verifier)
+    batch_verify(verifiers, proofs, pc_gens, bp_gens, backend=backend)
+    log(
+        f"[stage4] all {B} proofs VERIFIED (single combined MSM) in "
+        f"{time.time()-t0:.1f}s"
+    )
     return B, dt
 
 

@@ -17,14 +17,14 @@ from .core.ristretto import RistrettoPoint
 from .core.transcript import Transcript
 from .core.pedersen import PedersenGens, BulletproofGens
 from .core.prover import Prover
-from .core.verifier import Verifier
+from .core.verifier import Verifier, batch_verify
 from .core.proof import R1CSProof
 from .core.linear_combination import Variable, LinearCombination
 from .core import errors
 
 __all__ = [
     "Scalar", "RistrettoPoint", "Transcript", "PedersenGens",
-    "BulletproofGens", "Prover", "Verifier", "R1CSProof", "Variable",
-    "LinearCombination", "errors",
+    "BulletproofGens", "Prover", "Verifier", "batch_verify", "R1CSProof",
+    "Variable", "LinearCombination", "errors",
 ]
 __version__ = "0.1.0"

@@ -151,6 +151,40 @@ class Verifier:
         bp_gens: BulletproofGens,
         backend=None,
     ) -> None:
+        job = self._verification_job(proof, pc_gens, bp_gens)
+        scalars_arr = np.concatenate(
+            [
+                job.head_sc,
+                job.B_scalar_row[None, :],
+                job.B_blinding_row[None, :],
+                job.g, job.h, job.tail_sc,
+            ]
+        )
+        head_points = job.head_points + [pc_gens.B, pc_gens.B_blinding]
+        mega = _run_msm(
+            backend, scalars_arr, head_points, bp_gens.share(0),
+            job.padded_n, job.tail_points,
+        )
+        if not mega.is_identity():
+            raise VerificationError("R1CS proof verification failed")
+
+    def _verification_job(
+        self,
+        proof: R1CSProof,
+        pc_gens: PedersenGens,
+        bp_gens: BulletproofGens,
+    ) -> "VerificationJob":
+        """Replay the Fiat-Shamir schedule and reduce the proof to one
+        MSM-equals-identity check, returned in segments so that
+        :func:`batch_verify` can combine many proofs into a single MSM
+        (the shared G/H generator segments collapse across the batch).
+
+        MSM layout (scalar order == point order):
+          [head: A_I1 A_O1 S1 A_I2 A_O2 S2, V_j.., T_1 T_3 T_4 T_5 T_6]
+          + [B, B_blinding]  (shared basepoints, kept separate here)
+          + G(padded_n) + H(padded_n)   (shared generator vectors)
+          + [tail: L_j.., R_j..]        (IPP round points)
+        """
         t = self.transcript
         t.append_u64(b"m", len(self.V))
 
@@ -260,15 +294,9 @@ class Verifier:
         )
         wV_part = scvec.scale(wV, rxx) if len(self.V) else scvec.zeros(0)
         mid = scvec.from_scalars(
-            [r * x, rxx * x, rxx * xx, rxx * xx * x, rxx * xx * xx,
-             B_scalar, B_blinding_scalar]
+            [r * x, rxx * x, rxx * xx, rxx * xx * x, rxx * xx * xx]
         )
-        scalars_arr = np.concatenate(
-            [
-                head, wV_part, mid, g_scalars, h_scalars,
-                scvec.from_scalars(u_sq), scvec.from_scalars(u_inv_sq),
-            ]
-        )
+        head_sc = np.concatenate([head, wV_part, mid])
 
         try:
             head_points = (
@@ -288,7 +316,6 @@ class Verifier:
                     RistrettoPoint.decompress(proof.T_5),
                     RistrettoPoint.decompress(proof.T_6),
                 ]
-                + [pc_gens.B, pc_gens.B_blinding]
             )
             tail_points = [
                 RistrettoPoint.decompress(L) for L in proof.ipp_proof.L_vec
@@ -296,21 +323,158 @@ class Verifier:
         except ValueError as e:
             raise VerificationError(f"invalid point encoding: {e}")
 
-        gens = bp_gens.share(0)
-        if backend is not None and hasattr(backend, "msm_gens"):
-            mega = backend.msm_gens(
-                scalars_arr, head_points, gens, padded_n, tail_points
+        return VerificationJob(
+            head_sc=head_sc,
+            head_points=head_points,
+            B_scalar_row=scvec.scalar_to_row(B_scalar),
+            B_blinding_row=scvec.scalar_to_row(B_blinding_scalar),
+            g=g_scalars,
+            h=h_scalars,
+            tail_sc=np.concatenate(
+                [scvec.from_scalars(u_sq), scvec.from_scalars(u_inv_sq)]
+            ),
+            tail_points=tail_points,
+            padded_n=padded_n,
+        )
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class VerificationJob:
+    """One proof's verification equation, reduced to MSM segments
+    (see :meth:`Verifier._verification_job` for the layout)."""
+
+    head_sc: np.ndarray          # (11+m, 4) scalars for head_points
+    head_points: list            # A_I1..S2, V_j.., T_1..T_6
+    B_scalar_row: np.ndarray     # (4,) coefficient of pc_gens.B
+    B_blinding_row: np.ndarray   # (4,) coefficient of pc_gens.B_blinding
+    g: np.ndarray                # (padded_n, 4) G-vector coefficients
+    h: np.ndarray                # (padded_n, 4) H-vector coefficients
+    tail_sc: np.ndarray          # (2*rounds, 4) for L_j.., R_j..
+    tail_points: list
+    padded_n: int
+
+
+def _run_msm(backend, scalars_arr, head_points, gens, padded_n, tail_points):
+    if backend is not None and hasattr(backend, "msm_gens"):
+        return backend.msm_gens(
+            scalars_arr, head_points, gens, padded_n, tail_points
+        )
+    points = head_points + gens.G(padded_n) + gens.H(padded_n) + tail_points
+    if backend is not None:
+        return backend.msm(scalars_arr, points)
+    return multiscalar_mul(scvec.to_scalars(scalars_arr), points)
+
+
+def batch_verify(
+    verifiers: list,
+    proofs: list[R1CSProof],
+    pc_gens: PedersenGens,
+    bp_gens: BulletproofGens,
+    backend=None,
+    identify_failures: bool = True,
+) -> None:
+    """Verify B proofs with ONE multiscalar multiplication.
+
+    Each verification equation is an MSM that must equal the identity; a
+    random linear combination sum_b rho_b * MSM_b == identity (rho_b drawn
+    from the full scalar field by this verifier) accepts all-valid batches
+    and rejects any invalid one except with probability ~1/L.  Because
+    every proof shares the generator vectors G/H and the basepoints B/B~,
+    their coefficients merge: the combined MSM has ONE G(max_padded_n) +
+    H(max_padded_n) segment regardless of B — the dominant cost of
+    verification collapses from B mega-MSMs to one, plus B*(13+m+2log n)
+    proof-specific points.
+
+    The dalek engine exposes the same trick for aggregated verification;
+    the reference itself verifies proofs one at a time
+    (gadget_bound_check.rs:89-116) — this is a framework value-add on the
+    batch axis (SURVEY.md S2b N10).
+
+    `verifiers` must be fresh Verifier instances with commitments bound
+    and circuits synthesized (exactly as for `Verifier.verify`); their
+    transcripts are consumed.  Raises VerificationError on failure; with
+    `identify_failures` the batch is re-checked one-by-one to report the
+    failing indices.
+    """
+    if len(verifiers) != len(proofs):
+        raise ValueError("verifiers/proofs length mismatch")
+    if not proofs:
+        return
+    # Each job replays one verifier's transcript and flattens its tape —
+    # independent state, heavy parts in GIL-releasing C — so build them
+    # on a thread pool.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(proofs))) as pool:
+        jobs = list(
+            pool.map(
+                lambda vp: vp[0]._verification_job(vp[1], pc_gens, bp_gens),
+                zip(verifiers, proofs),
             )
-        else:
-            points = (
-                head_points + gens.G(padded_n) + gens.H(padded_n) + tail_points
-            )
-            if backend is not None:
-                mega = backend.msm(scalars_arr, points)
-            else:
-                mega = multiscalar_mul(scvec.to_scalars(scalars_arr), points)
-        if not mega.is_identity():
-            raise VerificationError("R1CS proof verification failed")
+        )
+    max_pad = max(j.padded_n for j in jobs)
+
+    def _pad(arr: np.ndarray) -> np.ndarray:
+        if arr.shape[0] == max_pad:
+            return arr
+        return np.concatenate([arr, scvec.zeros(max_pad - arr.shape[0])])
+
+    rhos = [Scalar.one()] + [
+        Scalar.from_bytes_mod_order_wide(secrets.token_bytes(64))
+        for _ in jobs[1:]
+    ]
+    head_sc = np.concatenate(
+        [scvec.scale(j.head_sc, r) for j, r in zip(jobs, rhos)]
+    )
+    head_points = [p for j in jobs for p in j.head_points]
+    tail_sc = np.concatenate(
+        [scvec.scale(j.tail_sc, r) for j, r in zip(jobs, rhos)]
+    )
+    tail_points = [p for j in jobs for p in j.tail_points]
+    g = scvec.scale(_pad(jobs[0].g), rhos[0])
+    h = scvec.scale(_pad(jobs[0].h), rhos[0])
+    B_row = scvec.scale(jobs[0].B_scalar_row[None, :], rhos[0])
+    Bb_row = scvec.scale(jobs[0].B_blinding_row[None, :], rhos[0])
+    for j, r in zip(jobs[1:], rhos[1:]):
+        g = scvec.add(g, scvec.scale(_pad(j.g), r))
+        h = scvec.add(h, scvec.scale(_pad(j.h), r))
+        B_row = scvec.add(B_row, scvec.scale(j.B_scalar_row[None, :], r))
+        Bb_row = scvec.add(
+            Bb_row, scvec.scale(j.B_blinding_row[None, :], r)
+        )
+
+    scalars_arr = np.concatenate([head_sc, B_row, Bb_row, g, h, tail_sc])
+    points = head_points + [pc_gens.B, pc_gens.B_blinding]
+    mega = _run_msm(
+        backend, scalars_arr, points, bp_gens.share(0), max_pad, tail_points
+    )
+    if mega.is_identity():
+        return
+    if not identify_failures:
+        raise VerificationError(
+            f"batch verification failed ({len(proofs)} proofs)"
+        )
+    # Re-run each equation alone to report which proofs are bad (jobs
+    # already hold the reduced equations; transcripts are consumed).
+    bad = []
+    for i, j in enumerate(jobs):
+        single = _run_msm(
+            backend,
+            np.concatenate(
+                [j.head_sc, j.B_scalar_row[None, :],
+                 j.B_blinding_row[None, :], j.g, j.h, j.tail_sc]
+            ),
+            j.head_points + [pc_gens.B, pc_gens.B_blinding],
+            bp_gens.share(0), j.padded_n, j.tail_points,
+        )
+        if not single.is_identity():
+            bad.append(i)
+    raise VerificationError(
+        f"batch verification failed; invalid proof indices: {bad}"
+    )
 
 
 def _decompress_allow_identity(data: bytes) -> RistrettoPoint:

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from typing import Callable
 
 from ..core.prover import Prover
-from ..core.verifier import Verifier
+from ..core.verifier import Verifier, batch_verify
 from ..core.transcript import Transcript
 from ..core.pedersen import PedersenGens, BulletproofGens
 from ..core.proof import R1CSProof
@@ -128,9 +128,25 @@ def verify_batch(
     result: BatchResult,
     build_circuit: Callable,
     backend=None,
+    combined: bool = True,
 ) -> None:
-    """Verify a batch (raises VerificationError on the first failure)."""
-    for proof, comms in zip(result.proofs, result.commitments):
+    """Verify a batch of proofs.
+
+    With ``combined`` (default) all B verification equations are merged
+    into ONE multiscalar multiplication via a random linear combination
+    (``core.verifier.batch_verify``): the shared G/H generator segments —
+    the dominant cost — are paid once for the whole batch.  On failure the
+    equations are re-checked individually and the error names the invalid
+    proof indices.  ``combined=False`` verifies one proof at a time."""
+    verifiers = []
+    for comms in result.commitments:
         verifier = Verifier(Transcript(transcript_label))
         build_circuit(verifier, comms)
+        verifiers.append(verifier)
+    if combined:
+        batch_verify(
+            verifiers, result.proofs, pc_gens, bp_gens, backend=backend
+        )
+        return
+    for verifier, proof in zip(verifiers, result.proofs):
         verifier.verify(proof, pc_gens, bp_gens, backend=backend)

@@ -194,3 +194,70 @@ def test_sharded_step_matches_host_oracles():
     got = points_from_device(total[None])[0]
     assert got == exp_pt
     assert points_from_device(c1[None])[0] == exp_pt
+
+
+def test_batch_verify_single_msm():
+    """Combined batch verification: one MSM accepts an all-valid batch,
+    rejects a tampered proof and names its index, and handles mixed
+    circuit sizes (different padded_n) in one combination."""
+    import pytest
+
+    from bulletproofs_r1cs_gadgets_tpu import (
+        Prover, Transcript, Verifier, batch_verify,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.core.errors import VerificationError
+    from bulletproofs_r1cs_gadgets_tpu.core.proof import R1CSProof
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import (
+        AllocatedQuantity, positive_no_gadget,
+    )
+
+    def make_factor_proof(p, q):
+        pr = Prover(PC, Transcript(b"BVFactors"))
+        cp, vp = pr.commit(p, Scalar.random())
+        cq, vq = pr.commit(q, Scalar.random())
+        _, _, o = pr.multiply(vp, vq)
+        pr.constrain(o - p * q)
+        return pr.prove(BP), (cp, cq, p * q)
+
+    def factor_verifier(cp, cq, r):
+        ve = Verifier(Transcript(b"BVFactors"))
+        _, _, o = ve.multiply(ve.commit(cp), ve.commit(cq))
+        ve.constrain(o - r)
+        return ve
+
+    def make_range_proof(v, bits):
+        # different multiplier count -> different padded_n in the batch
+        pr = Prover(PC, Transcript(b"BVRange"))
+        cv, vv = pr.commit(v, Scalar.random())
+        positive_no_gadget(
+            pr, AllocatedQuantity(vv, v.v), bits
+        )
+        return pr.prove(BP), cv
+
+    def range_verifier(cv, bits):
+        ve = Verifier(Transcript(b"BVRange"))
+        vv = ve.commit(cv)
+        positive_no_gadget(ve, AllocatedQuantity(vv, None), bits)
+        return ve
+
+    made = [make_factor_proof(Scalar(3), Scalar(5)),
+            make_factor_proof(Scalar(7), Scalar(11))]
+    rproof, cv = make_range_proof(Scalar(200), 16)
+
+    proofs = [m[0] for m in made] + [rproof]
+    verifiers = [factor_verifier(*m[1]) for m in made]
+    verifiers.append(range_verifier(cv, 16))
+    batch_verify(verifiers, proofs, PC, BP)  # mixed padded_n, all valid
+
+    # tamper with the middle proof: combination fails AND the failure
+    # re-check names exactly index 1 (verifier transcripts are consumed
+    # by the first call, so rebuild them)
+    raw = bytearray(made[1][0].to_bytes())
+    raw[-32] ^= 1
+    bad = R1CSProof.from_bytes(bytes(raw))
+    verifiers = [factor_verifier(*m[1]) for m in made]
+    verifiers.append(range_verifier(cv, 16))
+    with pytest.raises(VerificationError, match=r"indices: \[1\]"):
+        batch_verify(
+            verifiers, [made[0][0], bad, rproof], PC, BP,
+        )
