@@ -359,13 +359,18 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
     pc_gens, bp_gens, comp, tape = (
         ctx["pc_gens"], ctx["bp_gens"], ctx["comp"], ctx["tape"]
     )
-    provers = []
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.time()
-    for _ in range(B):
+
+    def _build(_):
         prover = Prover(pc_gens, Transcript(b"VSMT"))
         comms = comp.commit_prover(prover, ctx["k"], ctx["bits"], ctx["nodes"])
         prover.load_compiled(tape, ctx["aL"], ctx["aR"], ctx["aO"])
-        provers.append((prover, comms))
+        return prover, comms
+
+    with ThreadPoolExecutor(max_workers=max(1, min((os.cpu_count() or 4) - 1, B))) as pool:
+        provers = list(pool.map(_build, range(B)))
     log(f"[stage4] built {B} provers in {time.time()-t0:.1f}s")
 
     t0 = time.time()

@@ -23,7 +23,7 @@ import hashlib
 import os
 import numpy as np
 
-from .ristretto import RistrettoPoint
+from .ristretto import RistrettoPoint, FixedBaseTable
 from .scalar import Scalar
 
 _CACHE_DIR = os.environ.get(
@@ -39,13 +39,21 @@ class PedersenGens:
         self.B_blinding = RistrettoPoint.hash_from_bytes_sha3_512(
             self.B.compress()
         )
+        self._tables = None
 
     @staticmethod
     def default() -> "PedersenGens":
         return _DEFAULT_PC_GENS
 
     def commit(self, value: Scalar, blinding: Scalar) -> RistrettoPoint:
-        return self.B.scalar_mul(value) + self.B_blinding.scalar_mul(blinding)
+        if self._tables is None:
+            # built on first commit (~0.1 s), then every commit is ~64
+            # table additions instead of two full ladders
+            self._tables = (
+                FixedBaseTable(self.B), FixedBaseTable(self.B_blinding)
+            )
+        tB, tBb = self._tables
+        return tB.mul(value) + tBb.mul(blinding)
 
 
 class GeneratorsChain:

@@ -229,6 +229,42 @@ def _elligator(t: int) -> RistrettoPoint:
     return RistrettoPoint(w0 * w3, w2 * w1, w1 * w3, w0 * w2)
 
 
+class FixedBaseTable:
+    """Precomputed 8-bit-window multiples of a fixed base point.
+
+    table[w][d-1] = d * 256^w * base for w in 0..31, d in 1..255, so a
+    scalar multiplication is at most 32 point additions and no doublings —
+    ~7x faster than the generic 4-bit ladder.  Used for the Pedersen bases
+    B / B_blinding, which every commitment multiplies (dalek reaches for
+    its own basepoint tables in the same spot)."""
+
+    __slots__ = ("table",)
+
+    def __init__(self, base: RistrettoPoint):
+        table = []
+        step = base
+        for _ in range(32):
+            row = [step]
+            for _ in range(254):
+                row.append(row[-1] + step)
+            table.append(row)
+            step = row[-1] + step  # 256^w * base -> 256^(w+1) * base
+        self.table = table
+
+    def mul(self, s: Scalar) -> RistrettoPoint:
+        k = s.v
+        acc = None
+        w = 0
+        while k:
+            d = k & 255
+            if d:
+                e = self.table[w][d - 1]
+                acc = e if acc is None else acc + e
+            k >>= 8
+            w += 1
+        return RistrettoPoint.identity() if acc is None else acc
+
+
 def multiscalar_mul(scalars, points) -> RistrettoPoint:
     """Host Pippenger MSM (variable time).
 

@@ -406,9 +406,11 @@ def batch_verify(
     # Each job replays one verifier's transcript and flattens its tape —
     # independent state, heavy parts in GIL-releasing C — so build them
     # on a thread pool.
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, len(proofs))) as pool:
+    _workers = max(1, min((os.cpu_count() or 4) - 1, len(proofs)))
+    with ThreadPoolExecutor(max_workers=_workers) as pool:
         jobs = list(
             pool.map(
                 lambda vp: vp[0]._verification_job(vp[1], pc_gens, bp_gens),

@@ -205,28 +205,112 @@ void sc_sub(const u64 a[4], const u64 b[4], u64 out[4]) {
   sc_add(a, nb, out);
 }
 
-void sc_inv(const u64 a[4], u64 out[4]) {
-  // Fermat: a^(L-2); fixed 252-bit square-and-multiply (MSB first).
-  // exponent e = L - 2
-  u64 e[4];
-  memcpy(e, L_LIMBS, sizeof(e));
-  // subtract 2
-  if (e[0] >= 2) {
-    e[0] -= 2;
-  } else {
-    e[0] = e[0] - 2;  // wraps; cannot happen for L
+// --- 4-limb helpers for the binary-xgcd inversion -------------------------
+static inline int limbs_is_zero(const u64 x[4]) {
+  return (x[0] | x[1] | x[2] | x[3]) == 0;
+}
+
+static inline int limbs_is_one(const u64 x[4]) {
+  return x[0] == 1 && (x[1] | x[2] | x[3]) == 0;
+}
+
+static inline int limbs_cmp(const u64 a[4], const u64 b[4]) {
+  for (int i = 3; i >= 0; --i) {
+    if (a[i] > b[i]) return 1;
+    if (a[i] < b[i]) return -1;
   }
-  u64 acc[4] = {1, 0, 0, 0};
-  bool started = false;
-  for (int bit = 255; bit >= 0; --bit) {
-    if (started) sc_mul(acc, acc, acc);
-    int limb = bit / 64, off = bit % 64;
-    if ((e[limb] >> off) & 1) {
-      sc_mul(acc, a, acc);
-      started = true;
+  return 0;
+}
+
+static inline void limbs_sub(u64 a[4], const u64 b[4]) {  // a -= b (a >= b)
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 diff = (u128)a[i] - b[i] - borrow;
+    a[i] = (u64)diff;
+    borrow = (diff >> 64) ? 1 : 0;
+  }
+}
+
+static inline void limbs_shr1(u64 x[4]) {
+  x[0] = (x[0] >> 1) | (x[1] << 63);
+  x[1] = (x[1] >> 1) | (x[2] << 63);
+  x[2] = (x[2] >> 1) | (x[3] << 63);
+  x[3] >>= 1;
+}
+
+// x = x/2 mod L for x < L: if odd first add L (L odd; x+L < 2^254 so the
+// carry-out bit is tracked in `carry`).
+static inline void limbs_half_mod(u64 x[4]) {
+  u64 carry = 0;
+  if (x[0] & 1) {
+    u128 c = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 cur = (u128)x[i] + L_LIMBS[i] + c;
+      x[i] = (u64)cur;
+      c = cur >> 64;
+    }
+    carry = (u64)c;
+  }
+  limbs_shr1(x);
+  x[3] |= carry << 63;
+}
+
+void sc_inv(const u64 a[4], u64 out[4]) {
+  // Binary extended GCD mod L (variable-time; see PARITY.md on the
+  // constant-time deviation).  ~10x the Fermat ladder this replaced —
+  // inversion dominates the inverse-S-box witness chains (188 sequential
+  // inversions per Poseidon permutation, gadget_poseidon.rs:153-185).
+  // Invariants: x1*a == u (mod L), x2*a == v (mod L).
+  if (limbs_is_zero(a)) {  // dalek semantics: invert(0) == 0
+    memset(out, 0, 4 * sizeof(u64));
+    return;
+  }
+  u64 u[4], v[4], x1[4] = {1, 0, 0, 0}, x2[4] = {0, 0, 0, 0};
+  memcpy(u, a, sizeof(u));
+  while (ge_l(u)) sub_l(u);
+  memcpy(v, L_LIMBS, sizeof(v));
+  while (!limbs_is_one(u) && !limbs_is_one(v)) {
+    while (!(u[0] & 1)) {
+      limbs_shr1(u);
+      limbs_half_mod(x1);
+    }
+    while (!(v[0] & 1)) {
+      limbs_shr1(v);
+      limbs_half_mod(x2);
+    }
+    if (limbs_cmp(u, v) >= 0) {
+      limbs_sub(u, v);  // u, v odd -> u-v even; next loop halves
+      // x1 = x1 - x2 mod L
+      if (limbs_cmp(x1, x2) < 0) {
+        u128 c = 0;
+        for (int i = 0; i < 4; ++i) {
+          u128 cur = (u128)x1[i] + L_LIMBS[i] + c;
+          x1[i] = (u64)cur;
+          c = cur >> 64;
+        }
+        (void)c;  // x1+L < 2^254: the bit above limb 3 is impossible here
+      }
+      limbs_sub(x1, x2);
+    } else {
+      limbs_sub(v, u);
+      if (limbs_cmp(x2, x1) < 0) {
+        u128 c = 0;
+        for (int i = 0; i < 4; ++i) {
+          u128 cur = (u128)x2[i] + L_LIMBS[i] + c;
+          x2[i] = (u64)cur;
+          c = cur >> 64;
+        }
+        (void)c;
+      }
+      limbs_sub(x2, x1);
     }
   }
-  memcpy(out, acc, sizeof(acc));
+  if (limbs_is_one(u)) {
+    memcpy(out, x1, 4 * sizeof(u64));
+  } else {
+    memcpy(out, x2, 4 * sizeof(u64));
+  }
+  while (ge_l(out)) sub_l(out);
 }
 
 // ------------------------------------------------- vectorized field (Z/L)

@@ -60,9 +60,14 @@ def prove_provers(
     # transcript/rng order is unchanged (a prover's own stages still run
     # sequentially inside one task), so a prover with a deterministic
     # PRIVATE rng still produces byte-identical proofs.
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
-    workers = host_workers or min(8, len(provers))
+    # leave a core for the device-RPC machinery: oversubscribing the host
+    # (e.g. 8 workers on 4 cores) measurably REGRESSES batch throughput
+    workers = host_workers or max(
+        1, min((os.cpu_count() or 4) - 1, len(provers))
+    )
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         # stage 1: phase-1 blindings + witness arrays (threaded), then ALL
