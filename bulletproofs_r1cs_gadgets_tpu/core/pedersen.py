@@ -117,17 +117,22 @@ def _derive_chain(label: bytes, n: int) -> np.ndarray:
     except (OSError, ValueError):
         pass
     chain = GeneratorsChain(label)
-    if n > 4096:
+    arr = None
+    if n > 256:
+        # C++ Elligator batch (~30 us/point, threaded): deriving 2 x 2^18
+        # chain points costs seconds instead of ~13 Python minutes
         try:
-            from ..ops.curve import from_uniform_bytes_batch
+            from ..native.loader import load_native
 
-            seeds = chain.uniform_bytes(n)
-            pts = from_uniform_bytes_batch(seeds)
+            native = load_native()
+            if native is not None:
+                seeds = b"".join(chain.uniform_bytes(n))
+                raw = native.ge_from_uniform_batch(seeds)
+                arr = np.frombuffer(raw, dtype="<u2").reshape(n, 4, 16).copy()
         except Exception:
-            pts = chain.take(n)
-    else:
-        pts = chain.take(n)
-    arr = _points_to_array(pts)
+            arr = None
+    if arr is None:
+        arr = _points_to_array(chain.take(n))
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         np.save(cache_file, arr)

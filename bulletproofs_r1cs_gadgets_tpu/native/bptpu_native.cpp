@@ -605,4 +605,245 @@ void poseidon_permutation_batch(const u64* states_in, u64* states_out, int n,
   }
 }
 
+// ------------------------------------------------- curve field (2^255-19)
+// 5x51-bit limbs, u128 products (standard ref10-style schoolbook with *19
+// wraparound).  Used only for generator derivation (hash-to-group): the
+// SHAKE-256 generator chains need two Elligator maps + one Edwards add per
+// point (core/ristretto.py from_uniform_bytes / RFC 9496 one-way map), and
+// deriving 2x262144 of them in Python costs ~13 min; here it is seconds.
+typedef struct { u64 v[5]; } fe;
+
+static const u64 FE_MASK = (1ULL << 51) - 1;
+
+static inline void fe_frombytes(fe* h, const uint8_t s[32]) {
+  u64 w[4];
+  memcpy(w, s, 32);
+  h->v[0] = w[0] & FE_MASK;
+  h->v[1] = ((w[0] >> 51) | (w[1] << 13)) & FE_MASK;
+  h->v[2] = ((w[1] >> 38) | (w[2] << 26)) & FE_MASK;
+  h->v[3] = ((w[2] >> 25) | (w[3] << 39)) & FE_MASK;
+  h->v[4] = (w[3] >> 12) & FE_MASK;  // drops bit 255 (RFC 9496 mask)
+}
+
+static inline void fe_carry(fe* h) {
+  u64* v = h->v;
+  for (int r = 0; r < 2; ++r) {
+    u64 c = v[4] >> 51; v[4] &= FE_MASK; v[0] += 19 * c;
+    for (int i = 0; i < 4; ++i) {
+      c = v[i] >> 51; v[i] &= FE_MASK; v[i + 1] += c;
+    }
+  }
+}
+
+static inline void fe_tobytes(uint8_t s[32], const fe* f) {
+  fe t = *f;
+  fe_carry(&t);
+  // strong reduce: add 19, propagate, drop bit 255 trick
+  u64 q = (t.v[0] + 19) >> 51;
+  q = (t.v[1] + q) >> 51;
+  q = (t.v[2] + q) >> 51;
+  q = (t.v[3] + q) >> 51;
+  q = (t.v[4] + q) >> 51;
+  t.v[0] += 19 * q;
+  u64 c;
+  for (int i = 0; i < 4; ++i) {
+    c = t.v[i] >> 51; t.v[i] &= FE_MASK; t.v[i + 1] += c;
+  }
+  t.v[4] &= FE_MASK;
+  u64 w[4];
+  w[0] = t.v[0] | (t.v[1] << 51);
+  w[1] = (t.v[1] >> 13) | (t.v[2] << 38);
+  w[2] = (t.v[2] >> 26) | (t.v[3] << 25);
+  w[3] = (t.v[3] >> 39) | (t.v[4] << 12);
+  memcpy(s, w, 32);
+}
+
+static inline void fe_add(fe* h, const fe* a, const fe* b) {
+  for (int i = 0; i < 5; ++i) h->v[i] = a->v[i] + b->v[i];
+  fe_carry(h);
+}
+
+// h = a - b (adds 2p to keep limbs non-negative)
+static inline void fe_sub(fe* h, const fe* a, const fe* b) {
+  static const u64 TWOP[5] = {0xfffffffffffdaULL, 0xffffffffffffeULL,
+                              0xffffffffffffeULL, 0xffffffffffffeULL,
+                              0xffffffffffffeULL};
+  for (int i = 0; i < 5; ++i) h->v[i] = a->v[i] + TWOP[i] - b->v[i];
+  fe_carry(h);
+}
+
+static inline void fe_neg(fe* h, const fe* a) {
+  fe zero = {{0, 0, 0, 0, 0}};
+  fe_sub(h, &zero, a);
+}
+
+static inline void fe_mul(fe* h, const fe* f, const fe* g) {
+  const u64 *a = f->v, *b = g->v;
+  u64 b1_19 = 19 * b[1], b2_19 = 19 * b[2], b3_19 = 19 * b[3],
+      b4_19 = 19 * b[4];
+  u128 c0 = (u128)a[0] * b[0] + (u128)a[1] * b4_19 + (u128)a[2] * b3_19 +
+            (u128)a[3] * b2_19 + (u128)a[4] * b1_19;
+  u128 c1 = (u128)a[0] * b[1] + (u128)a[1] * b[0] + (u128)a[2] * b4_19 +
+            (u128)a[3] * b3_19 + (u128)a[4] * b2_19;
+  u128 c2 = (u128)a[0] * b[2] + (u128)a[1] * b[1] + (u128)a[2] * b[0] +
+            (u128)a[3] * b4_19 + (u128)a[4] * b3_19;
+  u128 c3 = (u128)a[0] * b[3] + (u128)a[1] * b[2] + (u128)a[2] * b[1] +
+            (u128)a[3] * b[0] + (u128)a[4] * b4_19;
+  u128 c4 = (u128)a[0] * b[4] + (u128)a[1] * b[3] + (u128)a[2] * b[2] +
+            (u128)a[3] * b[1] + (u128)a[4] * b[0];
+  c1 += (u64)(c0 >> 51); c0 = (u64)c0 & FE_MASK;
+  c2 += (u64)(c1 >> 51); c1 = (u64)c1 & FE_MASK;
+  c3 += (u64)(c2 >> 51); c2 = (u64)c2 & FE_MASK;
+  c4 += (u64)(c3 >> 51); c3 = (u64)c3 & FE_MASK;
+  u64 carry = (u64)(c4 >> 51); c4 = (u64)c4 & FE_MASK;
+  c0 += (u128)19 * carry;
+  c1 += (u64)(c0 >> 51); c0 = (u64)c0 & FE_MASK;
+  h->v[0] = (u64)c0; h->v[1] = (u64)c1; h->v[2] = (u64)c2;
+  h->v[3] = (u64)c3; h->v[4] = (u64)c4;
+}
+
+static inline void fe_sq(fe* h, const fe* f) { fe_mul(h, f, f); }
+
+static inline int fe_eq(const fe* a, const fe* b) {
+  uint8_t sa[32], sb[32];
+  fe_tobytes(sa, a);
+  fe_tobytes(sb, b);
+  return memcmp(sa, sb, 32) == 0;
+}
+
+static inline int fe_isneg(const fe* a) {
+  uint8_t s[32];
+  fe_tobytes(s, a);
+  return s[0] & 1;
+}
+
+// x^((p-5)/8): square-and-multiply over the fixed 252-bit exponent
+// 2^252 - 3 = 0b0111...1101 (249 ones, 0, 1) — simple MSB-first ladder.
+static void fe_pow2523(fe* out, const fe* x) {
+  // exponent (p-5)/8 = 2^252 - 3; bits MSB->LSB: bit 251..0, all ones
+  // except bit 1.
+  fe acc = *x;  // bit 251
+  for (int i = 250; i >= 0; --i) {
+    fe_sq(&acc, &acc);
+    if (i != 1) fe_mul(&acc, &acc, x);
+  }
+  *out = acc;
+}
+
+static const uint8_t SQRT_M1_B[32] = {0xb0,0xa0,0x0e,0x4a,0x27,0x1b,0xee,0xc4,0x78,0xe4,0x2f,0xad,0x06,0x18,0x43,0x2f,0xa7,0xd7,0xfb,0x3d,0x99,0x00,0x4d,0x2b,0x0b,0xdf,0xc1,0x4f,0x80,0x24,0x83,0x2b};
+static const uint8_t ED_D_B[32] = {0xa3,0x78,0x59,0x13,0xca,0x4d,0xeb,0x75,0xab,0xd8,0x41,0x41,0x4d,0x0a,0x70,0x00,0x98,0xe8,0x79,0x77,0x79,0x40,0xc7,0x8c,0x73,0xfe,0x6f,0x2b,0xee,0x6c,0x03,0x52};
+static const uint8_t ONE_MINUS_D_SQ_B[32] = {0x76,0xc1,0x5f,0x94,0xc1,0x09,0x7c,0xe2,0x0f,0x35,0x5e,0xcd,0x38,0xa1,0x81,0x2c,0xe4,0xdf,0x70,0xbe,0xdd,0xab,0x94,0x99,0xd7,0xe0,0xb3,0xb2,0xa8,0x72,0x90,0x02};
+static const uint8_t D_MINUS_ONE_SQ_B[32] = {0x20,0x4d,0xed,0x44,0xaa,0x5a,0xad,0x31,0x99,0x19,0x1e,0xb0,0x2c,0x4a,0x9e,0xd2,0xeb,0x4e,0x9b,0x52,0x2f,0xd3,0xdc,0x4c,0x41,0x22,0x6c,0xf6,0x7a,0xb3,0x68,0x59};
+static const uint8_t SQRT_AD_MINUS_ONE_B[32] = {0x1b,0x2e,0x7b,0x49,0xa0,0xf6,0x97,0x7e,0xbd,0x54,0x78,0x1b,0x0c,0x8e,0x9d,0xaf,0xfd,0xd1,0xf5,0x31,0xc9,0xfc,0x3c,0x0f,0xac,0x48,0x83,0x2b,0xbf,0x31,0x69,0x37};
+
+typedef struct { fe X, Y, Z, T; } ge;
+
+// unified add-2008-hwcd-3 (a = -1), matches core/ristretto.py __add__
+static void ge_add(ge* out, const ge* p, const ge* q) {
+  fe A, B, C, Dv, E, F, G, H, t0, t1, d2;
+  fe_frombytes(&d2, ED_D_B);
+  fe_add(&d2, &d2, &d2);  // 2d
+  fe_sub(&t0, &p->Y, &p->X);
+  fe_sub(&t1, &q->Y, &q->X);
+  fe_mul(&A, &t0, &t1);
+  fe_add(&t0, &p->Y, &p->X);
+  fe_add(&t1, &q->Y, &q->X);
+  fe_mul(&B, &t0, &t1);
+  fe_mul(&C, &p->T, &q->T);
+  fe_mul(&C, &C, &d2);
+  fe_mul(&Dv, &p->Z, &q->Z);
+  fe_add(&Dv, &Dv, &Dv);
+  fe_sub(&E, &B, &A);
+  fe_sub(&F, &Dv, &C);
+  fe_add(&G, &Dv, &C);
+  fe_add(&H, &B, &A);
+  fe_mul(&out->X, &E, &F);
+  fe_mul(&out->Y, &G, &H);
+  fe_mul(&out->Z, &F, &G);
+  fe_mul(&out->T, &E, &H);
+}
+
+// RFC 9496 SQRT_RATIO_M1; returns was_square, r = sqrt(u/v) (or sqrt(i*u/v))
+static int fe_sqrt_ratio(fe* r, const fe* u, const fe* v) {
+  fe v3, v7, t, check, u_neg, u_neg_i, sqrtm1;
+  fe_frombytes(&sqrtm1, SQRT_M1_B);
+  fe_sq(&v3, v);
+  fe_mul(&v3, &v3, v);        // v^3
+  fe_sq(&v7, &v3);
+  fe_mul(&v7, &v7, v);        // v^7
+  fe_mul(&t, u, &v7);
+  fe_pow2523(&t, &t);         // (u v^7)^((p-5)/8)
+  fe_mul(r, u, &v3);
+  fe_mul(r, r, &t);
+  fe_sq(&check, r);
+  fe_mul(&check, &check, v);  // v r^2
+  fe_neg(&u_neg, u);
+  fe_mul(&u_neg_i, &u_neg, &sqrtm1);
+  int correct = fe_eq(&check, u);
+  int flipped = fe_eq(&check, &u_neg);
+  int flipped_i = fe_eq(&check, &u_neg_i);
+  if (flipped | flipped_i) fe_mul(r, r, &sqrtm1);
+  if (fe_isneg(r)) fe_neg(r, r);
+  return correct | flipped;
+}
+
+// RFC 9496 MAP (one-way map), matches core/ristretto.py _elligator
+static void ge_elligator(ge* out, const fe* t) {
+  fe sqrtm1, d, one_minus_d_sq, d_minus_one_sq, sqrt_ad_minus_one;
+  fe_frombytes(&sqrtm1, SQRT_M1_B);
+  fe_frombytes(&d, ED_D_B);
+  fe_frombytes(&one_minus_d_sq, ONE_MINUS_D_SQ_B);
+  fe_frombytes(&d_minus_one_sq, D_MINUS_ONE_SQ_B);
+  fe_frombytes(&sqrt_ad_minus_one, SQRT_AD_MINUS_ONE_B);
+  fe one = {{1, 0, 0, 0, 0}};
+  fe r, u, v, s, s_prime, c, n, w0, w1, w2, w3, tmp;
+  fe_sq(&r, t);
+  fe_mul(&r, &r, &sqrtm1);            // r = sqrt(-1) t^2
+  fe_add(&u, &r, &one);
+  fe_mul(&u, &u, &one_minus_d_sq);    // u = (r+1)(1-d^2)
+  fe_neg(&v, &one);
+  fe_mul(&tmp, &r, &d);
+  fe_sub(&v, &v, &tmp);               // -1 - r d
+  fe_add(&tmp, &r, &d);
+  fe_mul(&v, &v, &tmp);               // v = (-1 - r d)(r + d)
+  int was_square = fe_sqrt_ratio(&s, &u, &v);
+  fe_mul(&s_prime, &s, t);
+  if (!fe_isneg(&s_prime)) fe_neg(&s_prime, &s_prime);  // -ABS(s t)
+  if (!was_square) { s = s_prime; c = r; }
+  else { fe_neg(&c, &one); }
+  fe_sub(&tmp, &r, &one);
+  fe_mul(&n, &c, &tmp);
+  fe_mul(&n, &n, &d_minus_one_sq);
+  fe_sub(&n, &n, &v);                 // n = c (r-1) (d-1)^2 - v
+  fe_mul(&w0, &s, &v);
+  fe_add(&w0, &w0, &w0);              // w0 = 2 s v
+  fe_mul(&w1, &n, &sqrt_ad_minus_one);
+  fe_sq(&tmp, &s);
+  fe_sub(&w2, &one, &tmp);            // 1 - s^2
+  fe_add(&w3, &one, &tmp);            // 1 + s^2
+  fe_mul(&out->X, &w0, &w3);
+  fe_mul(&out->Y, &w2, &w1);
+  fe_mul(&out->Z, &w1, &w3);
+  fe_mul(&out->T, &w0, &w2);
+}
+
+// seeds: n 64-byte uniform strings; out: n points as 4 coords x 32 LE bytes
+// (= the (n, 4, 16) uint16 layout of core/pedersen.py point arrays).
+void ge_from_uniform_batch(const uint8_t* seeds, uint8_t* out, i64 n) {
+  for (i64 i = 0; i < n; ++i) {
+    fe t1, t2;
+    fe_frombytes(&t1, seeds + 64 * i);
+    fe_frombytes(&t2, seeds + 64 * i + 32);
+    ge p1, p2, p;
+    ge_elligator(&p1, &t1);
+    ge_elligator(&p2, &t2);
+    ge_add(&p, &p1, &p2);
+    uint8_t* o = out + 128 * i;
+    fe_tobytes(o, &p.X);
+    fe_tobytes(o + 32, &p.Y);
+    fe_tobytes(o + 64, &p.Z);
+    fe_tobytes(o + 96, &p.T);
+  }
+}
+
 }  // extern "C"

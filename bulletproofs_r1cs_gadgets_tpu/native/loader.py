@@ -61,6 +61,9 @@ class _Native:
             u64p, u64p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u64p,
         ]
+        lib.ge_from_uniform_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, i64
+        ]
 
     def keccak_f1600(self, state: bytearray) -> None:
         buf = (ctypes.c_char * 200).from_buffer(state)
@@ -74,6 +77,37 @@ class _Native:
     def sc_inv(self, a: bytes) -> bytes:
         out = ctypes.create_string_buffer(32)
         self._lib.sc_inv(a, out)
+        return out.raw
+
+    def ge_from_uniform_batch(self, seeds: bytes, threads: int = 0) -> bytes:
+        """n = len(seeds)//64 Elligator hash-to-group maps (RFC 9496
+        one-way map x2 + Edwards add per point); returns n * 128 bytes of
+        extended coordinates (4 x 32 LE).  The C call releases the GIL, so
+        chunks run on a thread pool."""
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(seeds) // 64
+        out = ctypes.create_string_buffer(128 * n)
+        if n == 0:
+            return out.raw
+        nt = threads or min(max(1, (_os.cpu_count() or 2) - 1), 8)
+        nt = min(nt, n)
+        bounds = [n * k // nt for k in range(nt + 1)]
+        sbuf = ctypes.create_string_buffer(seeds, len(seeds))
+        fn = self._lib.ge_from_uniform_batch
+        sa = ctypes.addressof(sbuf)
+        oa = ctypes.addressof(out)
+
+        def run(k):
+            lo, hi = bounds[k], bounds[k + 1]
+            fn(sa + 64 * lo, oa + 128 * lo, hi - lo)
+
+        if nt == 1:
+            run(0)
+        else:
+            with ThreadPoolExecutor(max_workers=nt) as pool:
+                list(pool.map(run, range(nt)))
         return out.raw
 
     def poseidon_permutation_batch(

@@ -205,3 +205,29 @@ def test_bulletproof_gens_deterministic_and_distinct():
     # all distinct
     enc = {p.compress() for p in g1.G(8) + g1.H(8)}
     assert len(enc) == 16
+
+
+def test_native_elligator_batch_matches_python():
+    """C++ ge_from_uniform_batch (generator derivation fast path) agrees
+    with the Python RFC 9496 one-way map point-for-point."""
+    import numpy as np
+
+    from bulletproofs_r1cs_gadgets_tpu.core.pedersen import (
+        GeneratorsChain,
+        _points_from_array,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.native.loader import load_native
+
+    native = load_native()
+    if native is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    n = 96
+    ref = GeneratorsChain(b"G\x00\x00\x00\x00").take(n)
+    seeds = b"".join(GeneratorsChain(b"G\x00\x00\x00\x00").uniform_bytes(n))
+    raw = native.ge_from_uniform_batch(seeds)
+    got = _points_from_array(
+        np.frombuffer(raw, dtype="<u2").reshape(n, 4, 16).copy()
+    )
+    assert [p.compress() for p in ref] == [p.compress() for p in got]
