@@ -98,12 +98,18 @@ def stage1_msm():
     from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import PallasBackend
     from bulletproofs_r1cs_gadgets_tpu.utils.constants import L
 
+    from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pbm
+
     n = int(os.environ.get("BENCH_MSM_N", 1 << 16))
     k = max(1, -(-n // ck.CHUNK))
-    log(f"[stage1] MSM n={n} ({k} chunks, grid path)")
+    path = "window-accumulator" if pbm._WINMSM else "ladder grid"
+    log(f"[stage1] MSM n={n} ({k} chunks, {path} path)")
     gens = BulletproofGens(max(n, 2048))
     backend = PallasBackend()
     big = backend._gens_big(gens.share(0), n, "G")
+    table = (
+        backend._gens_table(gens.share(0), n, "G") if pbm._WINMSM else None
+    )
     rnd = random.Random(1)
     # distinct scalar sets per rep (identical repeat calls can be elided
     # by the runtime and would overstate throughput)
@@ -119,6 +125,8 @@ def stage1_msm():
     def run(words):
         # fetch_points is a real device->host transfer (block_until_ready
         # has been observed returning early on this remote backend)
+        if table is not None:
+            return ck.fetch_points([ck.msm_win(table, words, k)])[0]
         return ck.fetch_points([ck.msm_grid(big, words, k)])[0]
 
     t0 = time.time()

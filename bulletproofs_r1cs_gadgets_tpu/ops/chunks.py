@@ -370,6 +370,44 @@ def msm_grid_pair(points_big: jnp.ndarray, words_big: jnp.ndarray,
     return pc.msm_grid_pair(points_big, words_big, acc2, info)
 
 
+# ------------------------------------------------ window-accumulator MSMs
+TBL = pc.TBL
+HALF_CHUNKS = GRID_CHUNKS // 2
+
+
+def table_big(points_big: jnp.ndarray, valid: int,
+              half: bool = False, old: jnp.ndarray | None = None
+              ) -> jnp.ndarray:
+    """Multiple-table prepass for the window-accumulator MSM walker:
+    8 small multiples of every point in chunks [0, valid) of a capacity
+    array.  `half` targets the half-capacity walker (IPP rounds >= 2);
+    passing the previous round's table as `old` lets XLA write the new
+    one in place (same shape, donated)."""
+    info = _info(valid)
+    if not half:
+        assert valid <= GRID_CHUNKS
+        return pc.table_grid_full(points_big, info, valid)
+    assert valid <= HALF_CHUNKS
+    if old is not None:
+        return pc.table_grid_half_donate(old, points_big, info, valid)
+    return pc.table_grid_half(points_big, info, valid)
+
+
+def msm_win(table: jnp.ndarray, words_big: jnp.ndarray, valid: int,
+            poff: int = 0, woff: int = 0, chain=None) -> jnp.ndarray:
+    """Window-accumulator MSM over `valid` chunks: table chunks
+    [poff, poff+valid) x word chunks [woff, woff+valid); returns the
+    position-uniform (92, 8, 256) accumulator `chain + total` (chains
+    with msm_chain / other msm_win calls in any order)."""
+    assert valid >= 1
+    if chain is None:
+        chain = ident_chunk()
+    info = np.array([valid, poff, woff], dtype=np.int32)
+    tc = table.shape[-1] // (TBL * pc.LAN_BLOCK)
+    assert poff + valid <= tc
+    return pc.msm_win_dyn(table, words_big, chain, info, valid)
+
+
 # --------------------------------------------------------------- MSM chain
 def msm_chain(pts_chunks, word_chunks, acc=None) -> jnp.ndarray:
     """Chained MSM over aligned chunk lists (signed-digit words); returns

@@ -56,6 +56,11 @@ from . import chunks as ck
 MIN_DEVICE_N = 64
 CHUNK = ck.CHUNK
 
+# window-accumulator MSM walker (pallas_curve.msm_win_*): ~4x fewer
+# point-ops than the per-lane w4 ladder; BPTPU_WINMSM=0 falls back to the
+# ladder grid kernels (msm_grid_acc / msm_grid_pair)
+_WINMSM = os.environ.get("BPTPU_WINMSM", "1") != "0"
+
 
 def _as_array(scalars) -> np.ndarray:
     """list[Scalar] | (n,4) u64 array -> (n,4) u64 array."""
@@ -104,6 +109,22 @@ class PallasBackend:
         if got is None or got[1] < k:
             chunks = self._gens_chunks(gens_share, n, which)
             got = (ck.chunks_to_big(chunks), len(chunks))
+            self._gens_cache[key] = got
+        return got[0]
+
+    def _gens_table(self, gens_share, n: int, which: str):
+        """Capacity-shaped multiple table over the generator vector for
+        the window-accumulator MSM walker — built ONCE per gens object
+        (fixed-base MSM: every proof and every IPP round 1 reuses it)."""
+        k = _nchunks(n)
+        if k > ck.GRID_CHUNKS:
+            return None
+        key = (id(gens_share._gens), which, "tbl")
+        got = self._gens_cache.get(key)
+        if got is None or got[1] < k:
+            big = self._gens_big(gens_share, n, which)
+            nc = self._gens_cache[(id(gens_share._gens), which, "big")][1]
+            got = (ck.table_big(big, nc), nc)
             self._gens_cache[key] = got
         return got[0]
 
@@ -160,8 +181,14 @@ class PallasBackend:
                 TIMER.add("msm_prep", time.time() - t0)
                 t0 = time.time()
             acc = ck.msm_chain(head, head_w)
-            acc = ck.msm_grid(G_big, sc_G, k, acc=acc)
-            acc = ck.msm_grid(H_big, sc_H, k, acc=acc)
+            if _WINMSM:
+                tG = self._gens_table(gens_share, padded_n, "G")
+                tH = self._gens_table(gens_share, padded_n, "H")
+                acc = ck.msm_win(tG, sc_G, k, chain=acc)
+                acc = ck.msm_win(tH, sc_H, k, chain=acc)
+            else:
+                acc = ck.msm_grid(G_big, sc_G, k, acc=acc)
+                acc = ck.msm_grid(H_big, sc_H, k, acc=acc)
             acc = ck.msm_chain(tail, tail_w, acc=acc)
             out = ck.fetch_points([acc])[0]
             if _TIMING:
@@ -225,30 +252,36 @@ class PallasBackend:
         if G_big is not None:
             # grid path: 2 dispatches per commitment instead of 2k+1
             H_big = self._gens_big(gens_share, n, "H")
+            if _WINMSM:
+                tG = self._gens_table(gens_share, n, "G")
+                tH = self._gens_table(gens_share, n, "H")
+                msm_G = lambda wds, acc: ck.msm_win(tG, wds, k, chain=acc)
+                msm_H = lambda wds, acc: ck.msm_win(tH, wds, k, chain=acc)
+            else:
+                msm_G = lambda wds, acc: ck.msm_grid(G_big, wds, k, acc=acc)
+                msm_H = lambda wds, acc: ck.msm_grid(H_big, wds, k, acc=acc)
             if _TIMING:
                 TIMER.add("phase1_prep", time.time() - t0)
                 t0 = time.time()
             head_AI = ck.msm_chain(
                 [bb], [ck.single_scalar_words(i_blinding)]
             )
-            acc_AI = ck.msm_grid(
-                H_big, ck.grid_words(a_R, k), k,
-                acc=ck.msm_grid(G_big, ck.grid_words(a_L, k), k,
-                                acc=head_AI),
+            acc_AI = msm_H(
+                ck.grid_words(a_R, k),
+                msm_G(ck.grid_words(a_L, k), head_AI),
             )
-            acc_AO = ck.msm_grid(
-                G_big, ck.grid_words(a_O, k), k,
-                acc=ck.msm_chain(
-                    [bb], [ck.single_scalar_words(o_blinding)]
+            acc_AO = msm_G(
+                ck.grid_words(a_O, k),
+                ck.msm_chain([bb], [ck.single_scalar_words(o_blinding)]),
+            )
+            acc_S = msm_H(
+                ck.grid_words(s_R, k),
+                msm_G(
+                    ck.grid_words(s_L, k),
+                    ck.msm_chain(
+                        [bb], [ck.single_scalar_words(s_blinding)]
+                    ),
                 ),
-            )
-            acc_S = ck.msm_grid(
-                H_big, ck.grid_words(s_R, k), k,
-                acc=ck.msm_grid(G_big, ck.grid_words(s_L, k), k,
-                                acc=ck.msm_chain(
-                                    [bb],
-                                    [ck.single_scalar_words(s_blinding)],
-                                )),
             )
             if _TIMING:
                 TIMER.add("phase1_dispatch", time.time() - t0)
@@ -433,6 +466,13 @@ class _IppJob:
             # capacity-array mode: grid MSM/fold dispatches while n >= CHUNK
             self.H_big = backend._gens_big(gens_share, padded_n, "H")
             self.G = self.H = None
+            if _WINMSM:
+                # round 1 walks the UNFOLDED gens: shared cached tables;
+                # later rounds prepass the fold outputs into owned
+                # half-capacity tables (donated round-over-round)
+                self.tG = backend._gens_table(gens_share, padded_n, "G")
+                self.tH = backend._gens_table(gens_share, padded_n, "H")
+                self._tbl_owned = False
         else:
             # working chunk lists; >= n points valid in lanes [0, n)
             self.G = list(backend._gens_chunks(gens_share, padded_n, "G"))
@@ -479,7 +519,21 @@ class _IppJob:
             t0 = time.time()
         self._to_chunks_if_tail()
         G, H, qc = self.G, self.H, self.qc
-        if n >= CHUNK and self.G_big is not None:
+        if n >= CHUNK and self.G_big is not None and _WINMSM:
+            # window-accumulator walks over the current tables: word
+            # layout matches the arrays (G side: scG_R at chunks [0,k),
+            # scG_L at [k,2k); H side: scH_L low, scH_R high)
+            k = n // CHUNK
+            kR = max(1, _nchunks(nzR)) if nzR < n else k
+            wG = ck.grid_words(np.concatenate([scG_R, scG_L]), 2 * k)
+            wH = ck.grid_words(np.concatenate([scH_L, scH_R]), 2 * k)
+            accL = ck.msm_chain([qc], [ck.single_scalar_words(self.c_L)])
+            accL = ck.msm_win(self.tG, wG, k, poff=k, woff=k, chain=accL)
+            accL = ck.msm_win(self.tH, wH, k, chain=accL)
+            accR = ck.msm_chain([qc], [ck.single_scalar_words(self.c_R)])
+            accR = ck.msm_win(self.tG, wG, kR, chain=accR)
+            accR = ck.msm_win(self.tH, wH, k, poff=k, woff=k, chain=accR)
+        elif n >= CHUNK and self.G_big is not None:
             # fused pair walks: G_big chunks [0,k) carry scG_R -> R and
             # [k,2k) carry scG_L -> L; H_big [0,k) carry scH_L -> L and
             # [k,2k) carry scH_R -> R.  2 dispatches + 2 Q chains/round.
@@ -575,6 +629,14 @@ class _IppJob:
                 self.H_big, k, rbp, cH[0], cH[1], donate=self._owns_big
             )
             self._owns_big = True
+            if _WINMSM and n >= 2 * CHUNK:
+                # next round still walks capacity arrays: prepass the fold
+                # outputs (k chunks) into the owned half-capacity tables
+                old_G = self.tG if self._tbl_owned else None
+                old_H = self.tH if self._tbl_owned else None
+                self.tG = ck.table_big(self.G_big, k, half=True, old=old_G)
+                self.tH = ck.table_big(self.H_big, k, half=True, old=old_H)
+                self._tbl_owned = True
         elif n >= CHUNK:
             # chunk-list path (circuits beyond the grid capacity): dual
             # bit-serial fold with ones on the left, c_i on the right

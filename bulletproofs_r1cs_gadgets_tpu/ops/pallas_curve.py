@@ -616,6 +616,198 @@ def fold_grid(left_right: jnp.ndarray, words_l: jnp.ndarray,
     )(info, left_right, left_right, words_l, words_r)
 
 
+# ------------------------------------------------ window-accumulator MSM
+# The per-lane w4 ladder above pays ~256 accumulator doublings per POINT.
+# An MSM only needs them per RESULT: split the scalar sum by window,
+#   total = sum_w 16^w * (sum_i d_{i,w} * P_i),
+# accumulate each window's inner sum across all points (1 table-select add
+# per point per window = 64 adds/point), and run ONE shared Horner chain
+# (4 dbl + 1 add per window) at the end — ~74 block-ops per 2048-point
+# chunk instead of ~327 (measured 4x on the full MSM path).
+#
+# Memory plan (VMEM is ~16 MB): 64 full-width window accumulators would
+# need 48 MB, so the grid runs WINDOW-OUTER, (64, chunks): the window
+# accumulator and the Horner accumulator live in VMEM scratch (753 KB
+# each) and persist across the chunk sweep, while the 8-entry multiple
+# table streams from HBM (6 MB/block DMA ~7 us, hidden under the ~19 us
+# padd per step).  Tables come from a one-dispatch prepass
+# (`table_grid`); for the fixed generator vectors the table is built once
+# per process and reused by every proof (fixed-base MSM).
+#
+# The result chains exactly like `msm_chunk_acc`: out = block-reduced
+# total + chain, position-uniform — so walker calls compose with each
+# other and with the chunk-chain kernels in any order.
+TBL = 8  # multiple-table entries (1..8)*P for signed 4-bit digits
+
+
+def _table_body(p):
+    """8-entry multiple table (k+1)*P, k=0..7 (4 dbl + 3 add)."""
+    t2 = emit_point_double(p)
+    t3 = emit_point_add(t2, p)
+    t4 = emit_point_double(t2)
+    t5 = emit_point_add(t4, p)
+    t6 = emit_point_double(t3)
+    t7 = emit_point_add(t6, p)
+    t8 = emit_point_double(t4)
+    return (p, t2, t3, t4, t5, t6, t7, t8)
+
+
+def _table_kernel(info_ref, p_ref, o_ref):
+    for e, q in enumerate(_table_body(_load_point(p_ref))):
+        for c in range(4):
+            o_ref[
+                c * STORE : (c + 1) * STORE,
+                :,
+                e * LAN_BLOCK : (e + 1) * LAN_BLOCK,
+            ] = q[c]
+
+
+def _table_call(points: jnp.ndarray, info: jnp.ndarray, v,
+                tc: int) -> jnp.ndarray:
+    """Multiple-table prepass over v = info[0] chunks of a capacity array
+    (dynamic grid): output lane block j holds the 8 multiples of point
+    chunk j (entry e at lanes [(8j+e)*256, ...)).  `tc` = table capacity
+    in chunks; blocks beyond v stay unspecified (never addressed)."""
+    assert points.shape == (ROWS, SUB, GRID_LANES)
+    spec_in = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK), lambda j, info: (0, 0, j)
+    )
+    spec_out = pl.BlockSpec(
+        (ROWS, SUB, TBL * LAN_BLOCK), lambda j, info: (0, 0, j)
+    )
+    return pl.pallas_call(
+        _table_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(v,),
+            in_specs=[spec_in],
+            out_specs=spec_out,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (ROWS, SUB, TBL * tc * LAN_BLOCK), jnp.int32
+        ),
+    )(info, points)
+
+
+table_grid_full = jax.jit(
+    lambda p, info, v: _table_call(p, info, v, GRID_CHUNKS)
+)
+table_grid_half = jax.jit(
+    lambda p, info, v: _table_call(p, info, v, GRID_CHUNKS // 2)
+)
+# rounds >= 3 own their table buffer; XLA reuses it in place
+table_grid_half_donate = jax.jit(
+    lambda old, p, info, v: _table_call(p, info, v, GRID_CHUNKS // 2),
+    donate_argnums=(0,),
+)
+
+
+def _win_digit_select(w_ref, window, t_ref, ident):
+    """Signed-nibble digit `window` (traced) -> d * P via lane selects over
+    the streamed table block (entry e at lane block e)."""
+    word = w_ref[window // 8]  # (SUB, LAN) dynamic sublane read
+    e = (word >> (4 * (window % 8))) & 15
+    neg = e >= 8
+    mag = jnp.where(neg, 16 - e, e)
+    sel = ident
+    for k in range(1, 9):
+        ent = tuple(
+            t_ref[
+                c * STORE : (c + 1) * STORE,
+                :,
+                (k - 1) * LAN_BLOCK : k * LAN_BLOCK,
+            ]
+            for c in range(4)
+        )
+        sel = emit_point_select(mag == k, ent, sel)
+    return emit_point_negate(sel, neg)
+
+
+def _msm_win_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref, wacc, horner):
+    w = pl.program_id(0)
+    j = pl.program_id(1)
+    v = info_ref[0]
+    window = 63 - w  # Horner consumes digits MSB-first
+    ident = _identity_point(jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32))
+
+    @pl.when(j < v)
+    def _step():
+        sel = _win_digit_select(w_ref, window, t_ref, ident)
+
+        @pl.when(j == 0)
+        def _init():
+            _store_point(wacc, sel)
+
+        @pl.when(j > 0)
+        def _acc():
+            _store_point(wacc, emit_point_add(_load_point(wacc), sel))
+
+    @pl.when(j == v - 1)
+    def _boundary():
+        @pl.when(w == 0)
+        def _first():
+            _store_point(horner, _load_point(wacc))
+
+        @pl.when(w > 0)
+        def _fold():
+            h = _load_point(horner)
+            for _ in range(4):
+                h = emit_point_double(h)
+            _store_point(horner, emit_point_add(h, _load_point(wacc)))
+
+        @pl.when(w == 63)
+        def _final():
+            tot = emit_block_reduce(_load_point(horner))
+            _store_point(o_ref, emit_point_add(tot, _load_point(chain_ref)))
+
+
+def _msm_win_call(table: jnp.ndarray, words: jnp.ndarray,
+                  chain: jnp.ndarray, info: jnp.ndarray, v) -> jnp.ndarray:
+    """Window-accumulator MSM over v = info[0] chunks: point chunk
+    `info[1] + c` (table blocks) pairs with word chunk `info[2] + c`;
+    returns block-reduce(total) + chain, position-uniform (92, 8, 256).
+
+    The chunk grid dimension is DYNAMIC (v is traced): one Mosaic compile
+    per table shape serves every segment size with zero padded steps —
+    measured ~23 us per idle step otherwise, which dominated small
+    segments (the static-grid variant cost ~190 ms at v = 1)."""
+    assert words.shape == (8, SUB, GRID_LANES)
+    t_spec = pl.BlockSpec(
+        (ROWS, SUB, TBL * LAN_BLOCK),
+        lambda w, j, info: (0, 0, j + info[1]),
+    )
+    w_spec = pl.BlockSpec(
+        (8, SUB, LAN_BLOCK),
+        lambda w, j, info: (0, 0, j + info[2]),
+    )
+    fix = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK), lambda w, j, info: (0, 0, 0)
+    )
+    return pl.pallas_call(
+        _msm_win_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(64, v),
+            in_specs=[t_spec, w_spec, fix],
+            out_specs=fix,
+            scratch_shapes=[
+                pltpu.VMEM((ROWS, SUB, LAN_BLOCK), jnp.int32),
+                pltpu.VMEM((ROWS, SUB, LAN_BLOCK), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, LAN_BLOCK), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            # double-buffered 6 MB table stream + scratch accumulators sit
+            # just past the default 16 MB scoped-vmem cap; v5e has headroom
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(info, table, words, chain)
+
+
+# one jit; the two table shapes (full / half capacity) each compile once
+msm_win_dyn = jax.jit(_msm_win_call)
+
+
 @jax.jit
 def smul_lanes(points: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
     """Per-lane scalar_i * P_i (no reduction)."""

@@ -37,15 +37,49 @@ from bulletproofs_r1cs_gadgets_tpu.ops import pallas_curve as pc
 from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import PallasBackend
 
 
-@pytest.fixture
-def fake_kernels(monkeypatch):
+@pytest.fixture(params=[True, False], ids=["winmsm", "ladder"])
+def fake_kernels(monkeypatch, request):
     """Replace the TPU pallas kernels with shape-correct fakes and count
     calls per entry point; fetch_points returns base-point copies so
-    transcript appends and compressions stay on real group elements."""
+    transcript appends and compressions stay on real group elements.
+    Parametrised over both MSM paths: the window-accumulator walker
+    (default) and the per-lane ladder grid (BPTPU_WINMSM=0)."""
+    from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pbm
+
+    monkeypatch.setattr(pbm, "_WINMSM", request.param)
     calls = {
         "msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0,
         "fold_grid_c": 0, "fold_grid_c_donate": 0, "msm_grid_pair": 0,
+        "table_big": 0, "msm_win": 0, "winmsm": request.param,
     }
+
+    import jax
+
+    def table_big(points_big, valid, half=False, old=None):
+        calls["table_big"] += 1
+        assert points_big.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+        tc = pc.GRID_CHUNKS // 2 if half else pc.GRID_CHUNKS
+        assert 1 <= valid <= tc
+        if old is not None:
+            assert old.shape[-1] == pc.TBL * tc * pc.LAN_BLOCK
+        # shape-only stand-in: a real full table is 768 MB
+        return jax.ShapeDtypeStruct(
+            (pc.ROWS, pc.SUB, pc.TBL * tc * pc.LAN_BLOCK), jnp.int32
+        )
+
+    def msm_win_dyn(table, words, chain, info, v):
+        calls["msm_win"] += 1
+        tc = table.shape[-1] // (pc.TBL * pc.LAN_BLOCK)
+        assert tc in (pc.GRID_CHUNKS, pc.GRID_CHUNKS // 2)
+        assert words.shape == (8, pc.SUB, pc.GRID_LANES)
+        assert chain.shape == (pc.ROWS, pc.SUB, pc.LAN_BLOCK)
+        iv, poff, woff = (int(x) for x in info)
+        assert iv == v and 1 <= v and 0 <= poff and poff + v <= tc
+        assert 0 <= woff and woff + v <= pc.GRID_CHUNKS
+        return chain
+
+    monkeypatch.setattr(ck, "table_big", table_big)
+    monkeypatch.setattr(pc, "msm_win_dyn", msm_win_dyn)
 
     def msm_chunk_acc_w4(points, words, acc):
         calls["msm_chunk"] += 1
@@ -147,8 +181,15 @@ def test_prover_grid_branches(fake_kernels, gens):
     _, _, proof = _prove(gens, PallasBackend())
     blob = proof.to_bytes()
     assert len(blob) > 0
-    assert fake_kernels["msm_grid"] >= 5  # phase-1 commitment walks
-    assert fake_kernels["msm_grid_pair"] >= 4  # 2 rounds x (G, H) walks
+    if fake_kernels["winmsm"]:
+        assert fake_kernels["msm_win"] >= 9  # 5 phase-1 + 4 IPP walks
+        assert fake_kernels["table_big"] >= 2  # gens tables (G, H)
+        assert fake_kernels["msm_grid"] == 0
+        assert fake_kernels["msm_grid_pair"] == 0
+    else:
+        assert fake_kernels["msm_grid"] >= 5  # phase-1 commitment walks
+        assert fake_kernels["msm_grid_pair"] >= 4  # 2 rnds x (G, H) walks
+        assert fake_kernels["msm_win"] == 0
     # round 1 folds read the shared gens cache (no donation); round 2
     # folds own their capacity arrays and fold in place
     assert fake_kernels["fold_grid_c"] >= 2
@@ -169,7 +210,8 @@ def test_verifier_msm_gens_grid(fake_kernels, gens):
     _build(verifier, (v, v2), 4097)
     with pytest.raises(VerificationError):
         verifier.verify(proof, pc_gens, bp_gens, backend=PallasBackend())
-    assert fake_kernels["msm_grid"] >= 2  # G and H segments
+    key = "msm_win" if fake_kernels["winmsm"] else "msm_grid"
+    assert fake_kernels[key] >= 2  # G and H segments
 
 
 def test_batch_entry_points(fake_kernels, gens):
