@@ -110,17 +110,34 @@ def _emit_fold_once(x, fold_limb: int, fold_rows: list[int]):
     )
 
 
+# Lean carry/fold schedules (C = balanced carry round, F = fold-all-high).
+# Proven safe in tests/test_reduce_schedules.py (interval arithmetic: every
+# intermediate row < 2^31 for conv inputs with rows <= +-4100, i.e. sums of
+# two reduced outputs; plus randomized int64 simulation: tail rows beyond
+# STORE are exactly zero at slice time, congruence holds, outputs are
+# balanced to +-(2^11+8) worst-case).  The value-level
+# tail argument matches the old loop's: the last fold leaves
+# |value| < radix^fold_limb * (1 + eps), so after two trailing carries the
+# row at fold_limb is O(1) and no carry ever reaches row STORE.
+# fp's 2-row fold constant needs one fold less than fq's 11-row constant.
+_SCHEDULES = {
+    "fp": {"long": "CFCFCC", "short": "CFCC"},
+    "fq": {"long": "CCFCFCFCC", "short": "CFCC"},
+}
+
+
 def emit_reduce(x, field: str):
-    """Arbitrary-length limb stack -> STORE balanced limbs (same scheme and
-    bounds as field.LimbField._reduce)."""
+    """Limb stack (<= 2*STORE rows; conv output or short sum) -> STORE
+    balanced limbs, |row| <= 2^11+8.  Input row bounds: +-2^29 for long
+    (conv of two sums-of-reduced, or a x2-scaled conv), +-2^15 for short."""
     fold_limb, fold_rows = _FOLDS[field]
-    while x.shape[0] > STORE:
-        x = emit_carry(emit_carry(x))
-        x = _emit_fold_once(x, fold_limb, fold_rows)
-    for _ in range(2):
-        x = emit_carry(emit_carry(x))
-        x = _emit_fold_once(x, fold_limb, fold_rows)
-    x = emit_carry(emit_carry(emit_carry(x)))
+    assert x.shape[0] <= 2 * STORE, "reduce input exceeds validated length"
+    seq = _SCHEDULES[field]["long" if x.shape[0] > STORE else "short"]
+    for op in seq:
+        if op == "C":
+            x = emit_carry(x)
+        else:
+            x = _emit_fold_once(x, fold_limb, fold_rows)
     return x[:STORE]
 
 
