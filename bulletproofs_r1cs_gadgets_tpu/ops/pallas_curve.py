@@ -81,8 +81,9 @@ def emit_point_add(p, q):
 
 
 def emit_point_double(p):
-    """dbl-2008-hwcd (a = -1); 7 muls."""
-    X1, Y1, Z1, _ = p
+    """dbl-2008-hwcd (a = -1); 7 muls.  Ignores T1, so it accepts 3-tuple
+    (X, Y, Z) inputs as well."""
+    X1, Y1, Z1 = p[0], p[1], p[2]
     A = pf.emit_square(X1, "fp")
     B = pf.emit_square(Y1, "fp")
     C = pf.emit_reduce(pf.emit_scale_const(pf.emit_conv(Z1, Z1), 2), "fp")
@@ -95,6 +96,52 @@ def emit_point_double(p):
         pf.emit_mul(G, H, "fp"),
         pf.emit_mul(F, G, "fp"),
         pf.emit_mul(E, H, "fp"),
+    )
+
+
+# T-coordinate elision: dbl-2008-hwcd never READS T, and add-2008-hwcd-3
+# reads both inputs' T but its T output is only needed when the result
+# feeds another add.  In a windowed ladder (4 dbl + 1 table add per
+# window) only the last doubling before an add must produce T, and the
+# add itself can skip T because its output goes straight into the next
+# window's doublings: 32 muls/window instead of 36.
+def emit_point_double_xyz(p):
+    """Doubling that skips the T output (6 muls): for results that feed
+    only further doublings.  Accepts 3- or 4-tuples."""
+    X1, Y1, Z1 = p[0], p[1], p[2]
+    A = pf.emit_square(X1, "fp")
+    B = pf.emit_square(Y1, "fp")
+    C = pf.emit_reduce(pf.emit_scale_const(pf.emit_conv(Z1, Z1), 2), "fp")
+    H = A + B
+    E = H - pf.emit_square(X1 + Y1, "fp")
+    G = A - B
+    F = C + G
+    return (
+        pf.emit_mul(E, F, "fp"),
+        pf.emit_mul(G, H, "fp"),
+        pf.emit_mul(F, G, "fp"),
+    )
+
+
+def emit_point_add_xyz(p, q):
+    """Unified add that skips the T output (7 muls): for results that feed
+    only doublings.  Both inputs still need valid T coordinates."""
+    X1, Y1, Z1, T1 = p
+    X2, Y2, Z2, T2 = q
+    A = pf.emit_mul(Y1 - X1, Y2 - X2, "fp")
+    B = pf.emit_mul(Y1 + X1, Y2 + X2, "fp")
+    C = pf.emit_mul_const(
+        pf.emit_reduce(pf.emit_conv(T1, T2), "fp"), _D2_ROWS, "fp"
+    )
+    Dv = pf.emit_reduce(pf.emit_scale_const(pf.emit_conv(Z1, Z2), 2), "fp")
+    E = B - A
+    F = Dv - C
+    G = Dv + C
+    H = B + A
+    return (
+        pf.emit_mul(E, F, "fp"),
+        pf.emit_mul(G, H, "fp"),
+        pf.emit_mul(F, G, "fp"),
     )
 
 
@@ -172,15 +219,20 @@ def emit_block_reduce(acc):
 def _ladder(pts, words_ref, with_reduce: bool):
     ident = _identity_point(pts[0])
 
-    def body(i, acc):
-        acc = emit_point_double(acc)
-        pos = 252 - i
+    def _sel(pos):
         word = words_ref[pos // 32]
         bit = ((word >> (pos % 32)) & 1) > 0
-        sel = emit_point_select(bit, pts, ident)
-        return emit_point_add(acc, sel)
+        return emit_point_select(bit, pts, ident)
 
-    acc = lax.fori_loop(0, 253, body, ident, unroll=False)
+    # T-elided (14 muls/bit vs 15): the accumulator travels as (X, Y, Z);
+    # each doubling feeds an add so it stays full, while the add output
+    # only feeds the next doubling.  Final bit runs with a full add.
+    def body(i, acc3):
+        acc = emit_point_double(acc3)
+        return emit_point_add_xyz(acc, _sel(252 - i))
+
+    acc3 = lax.fori_loop(0, 252, body, ident[:3], unroll=False)
+    acc = emit_point_add(emit_point_double(acc3), _sel(0))
     return emit_block_reduce(acc) if with_reduce else acc
 
 
@@ -287,13 +339,24 @@ def _ladder_w4(pts, words_ref, with_reduce: bool):
     ident = _identity_point(pts[0])
     table = _build_w4_table(pts)
 
-    def body(j, acc):
-        for _ in range(4):
-            acc = emit_point_double(acc)
+    # T-elided body (32 muls/window vs 36): the accumulator travels as
+    # (X, Y, Z); only the doubling feeding the table add produces T, and
+    # the add itself skips T because its output goes straight into the
+    # next window's doublings.  The last window (digit 0) runs outside the
+    # loop with a full add so callers get a complete extended point.
+    def body(j, acc3):
+        for _ in range(3):
+            acc3 = emit_point_double_xyz(acc3)
+        acc = emit_point_double(acc3)
         sel = _w4_digit_select(words_ref, 63 - j, table, ident)
-        return emit_point_add(acc, sel)
+        return emit_point_add_xyz(acc, sel)
 
-    acc = lax.fori_loop(0, 64, body, ident, unroll=False)
+    acc3 = lax.fori_loop(0, 63, body, ident[:3], unroll=False)
+    for _ in range(3):
+        acc3 = emit_point_double_xyz(acc3)
+    acc = emit_point_double(acc3)
+    sel = _w4_digit_select(words_ref, 0, table, ident)
+    acc = emit_point_add(acc, sel)
     return emit_block_reduce(acc) if with_reduce else acc
 
 
@@ -550,22 +613,26 @@ def _emit_fold_w2(left, right, wl_ref, wr_ref):
     lane.  128 windows x (2 dbl + 2 table adds) with only {P, 2P} tables
     (~516 point-ops vs 759 dual bit-serial) — and unlike the w4 dual
     tables, the working set fits VMEM at full 256-lane blocks and the
-    small body keeps Mosaic compile time sane."""
+    small body keeps Mosaic compile time sane.  T-elided: only the second
+    doubling and the first add of each window carry T."""
     ident = _identity_point(left[0])
     l2 = emit_point_double(left)
     r2 = emit_point_double(right)
 
-    def body(j, acc):
-        acc = emit_point_double(emit_point_double(acc))
-        pos = 127 - j
+    def _win(acc3, pos, last):
+        acc = emit_point_double(emit_point_double_xyz(acc3))
         acc = emit_point_add(
             acc, _w2_digit_select(wl_ref, pos, left, l2, ident)
         )
-        return emit_point_add(
-            acc, _w2_digit_select(wr_ref, pos, right, r2, ident)
-        )
+        selR = _w2_digit_select(wr_ref, pos, right, r2, ident)
+        return (emit_point_add(acc, selR) if last
+                else emit_point_add_xyz(acc, selR))
 
-    return lax.fori_loop(0, 128, body, ident, unroll=False)
+    def body(j, acc3):
+        return _win(acc3, 127 - j, False)
+
+    acc3 = lax.fori_loop(0, 127, body, ident[:3], unroll=False)
+    return _win(acc3, 0, True)
 
 
 def _fold_grid_kernel(info_ref, l_ref, r_ref, wl_ref, wr_ref, o_ref):
@@ -751,8 +818,9 @@ def _msm_win_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref, wacc, horner):
         @pl.when(w > 0)
         def _fold():
             h = _load_point(horner)
-            for _ in range(4):
-                h = emit_point_double(h)
+            for _ in range(3):
+                h = emit_point_double_xyz(h)
+            h = emit_point_double(h)
             _store_point(horner, emit_point_add(h, _load_point(wacc)))
 
         @pl.when(w == 63)
@@ -824,25 +892,28 @@ def smul_lanes(points: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------- fold kernel
 def _emit_fold(left, right, wl_ref, wr_ref):
-    """Per-lane dual bit-serial ladder: s_l_i * L_i + s_r_i * R_i."""
+    """Per-lane dual bit-serial ladder: s_l_i * L_i + s_r_i * R_i.
+    T-elided like :func:`_ladder`."""
     both = emit_point_add(left, right)
     ident = _identity_point(left[0])
 
-    def body(i, acc):
-        acc = emit_point_double(acc)
-        pos = 252 - i
+    def _sel(pos):
         w = pos // 32
         sh = pos % 32
         bl = ((wl_ref[w] >> sh) & 1) > 0
         br = ((wr_ref[w] >> sh) & 1) > 0
-        sel = emit_point_select(
+        return emit_point_select(
             bl & br,
             both,
             emit_point_select(bl, left, emit_point_select(br, right, ident)),
         )
-        return emit_point_add(acc, sel)
 
-    return lax.fori_loop(0, 253, body, ident, unroll=False)
+    def body(i, acc3):
+        acc = emit_point_double(acc3)
+        return emit_point_add_xyz(acc, _sel(252 - i))
+
+    acc3 = lax.fori_loop(0, 252, body, ident[:3], unroll=False)
+    return emit_point_add(emit_point_double(acc3), _sel(0))
 
 
 def _fold_kernel(l_ref, r_ref, wl_ref, wr_ref, o_ref):

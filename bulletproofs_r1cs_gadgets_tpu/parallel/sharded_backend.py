@@ -26,10 +26,24 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as PSpec
 from jax.experimental.shard_map import shard_map
 
-from ..ops.backend import DeviceBackend
+from ..core.ipp import InnerProductProof
+from ..ops.backend import DeviceBackend, _bits_arr, _fold_with_scalars_jit
 from ..ops.field import STORE
-from ..ops.curve import point_add, identity_points
+from ..ops.curve import point_add, identity_points, points_from_device
 from ..ops.msm import msm_chunk_impl, scalars_to_digits
+from ..utils.constants import L as _L_MOD
+
+
+def _bits_mat(vals: list[int]) -> np.ndarray:
+    """(n, 253) LSB-first bit matrix of python ints."""
+    return np.stack([_bits_arr(v) for v in vals])
+
+
+@jax.jit
+def _fold_batch(left, right, bits_l, bits_r):
+    """Batched double-scalar generator fold: (B, n, 4, S) stacks folded
+    with per-job per-element scalar bits (B, n, 253)."""
+    return jax.vmap(_fold_with_scalars_jit)(left, right, bits_l, bits_r)
 
 
 class ShardedMsmBackend(DeviceBackend):
@@ -109,3 +123,257 @@ class ShardedMsmBackend(DeviceBackend):
             )
             total = part if total is None else point_add(total, part)
         return total
+
+
+class BatchShardedBackend(ShardedMsmBackend):
+    """Two-axis SPMD proving over a ``(batch, points)`` mesh: B independent
+    same-shape proofs ride the ``batch`` axis as pure data parallelism (no
+    collectives — proofs share nothing), while each proof's MSMs partition
+    their point axis over ``points`` with the inherited all_gather+fold.
+
+    This is the production layout for BASELINE's 4096-concurrent-proofs
+    config (SURVEY.md §2b N10a + N10b composed): on a v5p-16 the batch
+    axis spans hosts over DCN and the points axis rides ICI.  Per IPP
+    round the device computes all B L/R pairs in one SPMD dispatch; the
+    B Fiat-Shamir transcripts advance on the host between rounds (64
+    bytes per proof per round — the same host/device split as the
+    single-proof path).
+
+    Jobs must share one circuit shape (same padded_n and generator set);
+    heterogeneous batches fall back to the sequential per-job path.
+    """
+
+    def __init__(self, mesh: Mesh, batch_axis: str = "batch", **kw):
+        super().__init__(mesh, **kw)
+        self.batch_axis = batch_axis
+        self.n_batch = mesh.shape[batch_axis]
+
+        def msm_b(points, digits):
+            # local shards: points (Bl, nl, 4, S), digits (Bl, nl, W)
+            part = jax.vmap(
+                lambda p, d: msm_chunk_impl(p, d, self.window)
+            )(points, digits)  # (Bl, 4, S)
+            parts = jax.lax.all_gather(part, self.axis)  # (ps, Bl, 4, S)
+            total = parts[0]
+            for i in range(1, self.n_shards):
+                total = point_add(total, parts[i])
+            return total
+
+        self._sharded_msm_batch = jax.jit(
+            shard_map(
+                msm_b,
+                mesh=mesh,
+                in_specs=(
+                    PSpec(batch_axis, self.axis),
+                    PSpec(batch_axis, self.axis),
+                ),
+                out_specs=PSpec(batch_axis),
+                check_rep=False,
+            )
+        )
+
+    # ------------------------------------------------------------ helpers
+    def _msm_dev_batch(
+        self, digits_b: np.ndarray, points_b: jnp.ndarray
+    ) -> jnp.ndarray:
+        """B same-size MSMs in one SPMD dispatch series: digits_b
+        (B, n, W) int32, points_b (B, n, 4, STORE) -> (B, 4, STORE)."""
+        B, n = digits_b.shape[0], digits_b.shape[1]
+        m = -(-n // self.chunk) * self.chunk
+        if m != n:
+            pad_pts = jnp.broadcast_to(
+                identity_points(()), (B, m - n, 4, STORE)
+            )
+            points_b = jnp.concatenate([points_b, pad_pts], axis=1)
+            digits_b = np.concatenate(
+                [digits_b,
+                 np.zeros((B, m - n, digits_b.shape[2]), np.int32)],
+                axis=1,
+            )
+        digits_b = jnp.asarray(digits_b)
+        total = None
+        for off in range(0, m, self.chunk):
+            part = self._sharded_msm_batch(
+                points_b[:, off : off + self.chunk],
+                digits_b[:, off : off + self.chunk],
+            )
+            total = part if total is None else point_add(total, part)
+        return total
+
+    def _digits_rows(self, rows_list: list[list]) -> np.ndarray:
+        """B lists of Scalars/ints -> (B, n, W) window digits."""
+        return np.stack([
+            scalars_to_digits(
+                [s.v if hasattr(s, "v") else int(s) for s in rows],
+                self.window,
+            )
+            for rows in rows_list
+        ])
+
+    @staticmethod
+    def _jobs_uniform(ns: list, genses: list) -> bool:
+        return len(set(ns)) == 1 and len({id(g) for g in genses}) == 1
+
+    # ----------------------------------------------------- batched phase 1
+    def phase_commitments_batch(self, jobs: list[tuple]) -> list[tuple]:
+        from ..core import scvec as _scvec
+
+        norm = []
+        for job in jobs:
+            (gens_share, a_L, a_R, a_O, s_L, s_R,
+             i_b, o_b, s_b, B_blinding, offset) = job
+            to_l = (
+                _scvec.to_scalars if isinstance(a_L, np.ndarray)
+                else list
+            )
+            norm.append((gens_share, to_l(a_L), to_l(a_R), to_l(a_O),
+                         to_l(s_L), to_l(s_R), i_b, o_b, s_b, B_blinding,
+                         offset))
+        ns = [len(j[1]) for j in norm]
+        if (
+            not self._jobs_uniform(ns, [j[0]._gens for j in norm])
+            or any(j[10] != 0 for j in norm)
+            or ns[0] < self.min_device_n
+            or len(norm) % self.n_batch != 0
+        ):
+            return [self.phase_commitments(*job) for job in jobs]
+        n = ns[0]
+        B = len(norm)
+        gens_share = norm[0][0]
+        G_dev = self._gens_device(gens_share, n, "G")
+        H_dev = self._gens_device(gens_share, n, "H")
+        GH_b = jnp.broadcast_to(
+            jnp.concatenate([G_dev, H_dev], axis=0)[None],
+            (B, 2 * n, 4, STORE),
+        )
+        G_b = jnp.broadcast_to(G_dev[None], (B, n, 4, STORE))
+        AI_b = self._msm_dev_batch(
+            self._digits_rows([j[1] + j[2] for j in norm]), GH_b
+        )
+        AO_b = self._msm_dev_batch(self._digits_rows([j[3] for j in norm]),
+                                   G_b)
+        S_b = self._msm_dev_batch(
+            self._digits_rows([j[4] + j[5] for j in norm]), GH_b
+        )
+        AI = points_from_device(AI_b)
+        AO = points_from_device(AO_b)
+        S = points_from_device(S_b)
+        out = []
+        for j, (gens_share, *_rest) in enumerate(norm):
+            _, _, _, _, _, _, i_b, o_b, s_b, Bb, _ = norm[j]
+            out.append((
+                (AI[j] + Bb.scalar_mul(i_b)).compress(),
+                (AO[j] + Bb.scalar_mul(o_b)).compress(),
+                (S[j] + Bb.scalar_mul(s_b)).compress(),
+            ))
+        return out
+
+    # --------------------------------------------------------- batched IPP
+    def ipp_create_batch(self, jobs: list[tuple]) -> list:
+        from ..core import scvec as _scvec
+        from ..core.scalar import inner_product
+
+        norm = []
+        for job in jobs:
+            (transcript, Q, G_f, H_f, gens_share, padded_n, a, b) = job[:8]
+            if isinstance(a, np.ndarray):
+                G_f = _scvec.to_scalars(G_f)
+                H_f = _scvec.to_scalars(H_f)
+                a = _scvec.to_scalars(a)
+                b = _scvec.to_scalars(b)
+            norm.append((transcript, Q, G_f, H_f, gens_share, padded_n,
+                         list(a), list(b)))
+        ns = [j[5] for j in norm]
+        if (
+            not self._jobs_uniform(ns, [j[4]._gens for j in norm])
+            or ns[0] < self.min_device_n
+            or len(norm) % self.n_batch != 0
+        ):
+            return [self.ipp_create(*job) for job in jobs]
+        n = ns[0]
+        B = len(norm)
+        gens_share = norm[0][4]
+        # per-job generator stacks (every job folds with its own challenges)
+        G_dev = self._gens_device(gens_share, n, "G")
+        H_dev = self._gens_device(gens_share, n, "H")
+        G_b = jnp.broadcast_to(G_dev[None], (B, n, 4, STORE))
+        H_b = jnp.broadcast_to(H_dev[None], (B, n, 4, STORE))
+        st = [
+            {"t": t, "Q": Q, "gf": gf, "hf": hf, "a": a, "b": b,
+             "L": [], "R": []}
+            for (t, Q, gf, hf, _gs, _n, a, b) in norm
+        ]
+        first = True
+        while n != 1:
+            n //= 2
+            # host: this round's MSM scalars + Q coefficients per job
+            scL_rows, scR_rows, cLs, cRs = [], [], [], []
+            for s in st:
+                a_L, a_R = s["a"][:n], s["a"][n:]
+                b_L, b_R = s["b"][:n], s["b"][n:]
+                cLs.append(inner_product(a_L, b_R))
+                cRs.append(inner_product(a_R, b_L))
+                if first:
+                    gf, hf = s["gf"], s["hf"]
+                    scL_rows.append(
+                        [a_L[i] * gf[n + i] for i in range(n)]
+                        + [b_R[i] * hf[i] for i in range(n)]
+                    )
+                    scR_rows.append(
+                        [a_R[i] * gf[i] for i in range(n)]
+                        + [b_L[i] * hf[n + i] for i in range(n)]
+                    )
+                else:
+                    scL_rows.append(a_L + b_R)
+                    scR_rows.append(a_R + b_L)
+                s["halves"] = (a_L, a_R, b_L, b_R)
+            # device: all B L and R points in two SPMD dispatch series
+            ptsL_b = jnp.concatenate([G_b[:, n:], H_b[:, :n]], axis=1)
+            ptsR_b = jnp.concatenate([G_b[:, :n], H_b[:, n:]], axis=1)
+            L_b = self._msm_dev_batch(self._digits_rows(scL_rows), ptsL_b)
+            R_b = self._msm_dev_batch(self._digits_rows(scR_rows), ptsR_b)
+            L_pts = points_from_device(L_b)
+            R_pts = points_from_device(R_b)
+            # host: transcripts advance independently; collect fold bits
+            bits_gl, bits_gr, bits_hl, bits_hr = [], [], [], []
+            for j, s in enumerate(st):
+                L_c = (L_pts[j] + s["Q"].scalar_mul(cLs[j])).compress()
+                R_c = (R_pts[j] + s["Q"].scalar_mul(cRs[j])).compress()
+                s["L"].append(L_c)
+                s["R"].append(R_c)
+                s["t"].append_point(b"L", L_c)
+                s["t"].append_point(b"R", R_c)
+                u = s["t"].challenge_scalar(b"u")
+                u_inv = u.invert()
+                a_L, a_R, b_L, b_R = s["halves"]
+                s["a"] = [a_L[i] * u + u_inv * a_R[i] for i in range(n)]
+                s["b"] = [b_L[i] * u_inv + u * b_R[i] for i in range(n)]
+                if first:
+                    gf, hf = s["gf"], s["hf"]
+                    gl = [(u_inv.v * gf[i].v) % _L_MOD for i in range(n)]
+                    gr = [(u.v * gf[n + i].v) % _L_MOD for i in range(n)]
+                    hl = [(u.v * hf[i].v) % _L_MOD for i in range(n)]
+                    hr = [(u_inv.v * hf[n + i].v) % _L_MOD for i in range(n)]
+                else:
+                    gl = [u_inv.v] * n
+                    gr = [u.v] * n
+                    hl = [u.v] * n
+                    hr = [u_inv.v] * n
+                bits_gl.append(_bits_mat(gl))
+                bits_gr.append(_bits_mat(gr))
+                bits_hl.append(_bits_mat(hl))
+                bits_hr.append(_bits_mat(hr))
+            # device: fold all B generator stacks in one batched dispatch
+            G_b = _fold_batch(
+                G_b[:, :n], G_b[:, n:],
+                jnp.asarray(np.stack(bits_gl)), jnp.asarray(np.stack(bits_gr)),
+            )
+            H_b = _fold_batch(
+                H_b[:, :n], H_b[:, n:],
+                jnp.asarray(np.stack(bits_hl)), jnp.asarray(np.stack(bits_hr)),
+            )
+            first = False
+        return [
+            InnerProductProof(s["L"], s["R"], s["a"][0], s["b"][0])
+            for s in st
+        ]

@@ -84,3 +84,82 @@ def test_sharded_prover_host_verifier(backend):
         0, 1000, 32, proof, comms, b"BoundsTest", pc_gens, bp_gens,
         backend=None,
     )
+
+
+def _bc_build(lower, upper, bits):
+    """build_circuit for parallel.batch over the bound-check gadget."""
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.bound_check import (
+        bound_check_gadget,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import (
+        AllocatedQuantity,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.core.prover import Prover
+
+    def build(cs, w):
+        if isinstance(cs, Prover):
+            val = w
+            a, b = val - lower, upper - val
+            comms = []
+            com_v, var_v = cs.commit(Scalar(val), Scalar.random())
+            com_a, var_a = cs.commit(Scalar(a), Scalar.random())
+            com_b, var_b = cs.commit(Scalar(b), Scalar.random())
+            comms += [com_v, com_a, com_b]
+            qs = [
+                AllocatedQuantity(var_v, val),
+                AllocatedQuantity(var_a, a),
+                AllocatedQuantity(var_b, b),
+            ]
+        else:
+            comms = w
+            qs = [AllocatedQuantity(cs.commit(c)) for c in comms]
+        bound_check_gadget(cs, *qs, upper, lower, bits)
+        return comms
+
+    return build
+
+
+def test_batch_dp_sharded_proving(mesh):
+    """B=4 same-shape proofs in SPMD lockstep over a (batch=4, points=2)
+    mesh (BatchShardedBackend): one batched shard_map dispatch series per
+    IPP round for all four proofs, per-proof transcripts on host.  Each
+    proof must verify on the plain HOST path (byte-level Fiat-Shamir
+    equivalence), and a corrupted witness batch must fail."""
+    from bulletproofs_r1cs_gadgets_tpu.parallel.batch import (
+        prove_batch,
+        verify_batch,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.parallel.sharded_backend import (
+        BatchShardedBackend,
+    )
+
+    mesh42 = make_mesh(8, batch_axis=4)
+    backend = BatchShardedBackend(mesh42, min_device_n=64, chunk=256,
+                                  window=2)
+    pc_gens = PedersenGens.default()
+    bp_gens = BulletproofGens(256)
+    build = _bc_build(10, 100, 32)
+    res = prove_batch(
+        pc_gens, bp_gens, b"BatchDP", [11, 42, 99, 63], build,
+        backend=backend,
+    )
+    assert len(res.proofs) == 4
+    # host-path verification of every proof (FS equivalence across paths)
+    verify_batch(
+        pc_gens, bp_gens, b"BatchDP", res, build, backend=None,
+        combined=False,
+    )
+    # combined single-MSM verification through the sharded backend too
+    verify_batch(
+        pc_gens, bp_gens, b"BatchDP", res, build, backend=backend,
+        combined=True,
+    )
+    # negative: swap two proofs' commitment lists -> both equations break
+    import pytest as _pytest
+    from bulletproofs_r1cs_gadgets_tpu.core.errors import VerificationError
+
+    bad = type(res)(res.proofs, [res.commitments[1], res.commitments[0],
+                                 res.commitments[2], res.commitments[3]])
+    with _pytest.raises(VerificationError):
+        verify_batch(pc_gens, bp_gens, b"BatchDP", bad, build, backend=None,
+                     combined=False)
