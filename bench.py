@@ -363,7 +363,8 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
     from bulletproofs_r1cs_gadgets_tpu import Prover, Transcript, Verifier
     from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
 
-    B = int(os.environ.get("BENCH_BATCH", 4))
+    B = int(os.environ.get("BENCH_BATCH", 8))
+    waves = int(os.environ.get("BENCH_WAVES", 2 if B >= 8 else 1))
     pc_gens, bp_gens, comp, tape = (
         ctx["pc_gens"], ctx["bp_gens"], ctx["comp"], ctx["tape"]
     )
@@ -382,11 +383,13 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
     log(f"[stage4] built {B} provers in {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    proofs = prove_provers([p for p, _ in provers], bp_gens, backend=backend)
+    proofs = prove_provers(
+        [p for p, _ in provers], bp_gens, backend=backend, waves=waves
+    )
     dt = time.time() - t0
     log(
-        f"[stage4] batch prove B={B}: {dt:.1f}s total, {dt/B:.2f}s/proof "
-        f"({serial_dt/(dt/B):.2f}x serial)"
+        f"[stage4] batch prove B={B} waves={waves}: {dt:.1f}s total, "
+        f"{dt/B:.2f}s/proof ({serial_dt/(dt/B):.2f}x serial)"
     )
 
     # verify every batched proof — combined into ONE mega-MSM

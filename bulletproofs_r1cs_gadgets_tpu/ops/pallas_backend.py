@@ -374,19 +374,47 @@ class PallasBackend:
                 )
             else:
                 states.append((idx, _IppJob(self, *job)))
-        while True:
-            active = [(idx, s) for idx, s in states if s.n > 1]
-            if not active:
-                break
-            accs = []
-            for _, s in active:
-                accs.extend(s.round_dispatch())
-            t0 = time.time() if _TIMING else 0
-            pts = ck.fetch_points(accs)
-            if _TIMING:
-                TIMER.add("pair_sync", time.time() - t0)
-            for j, (_, s) in enumerate(active):
-                s.round_finish(pts[2 * j], pts[2 * j + 1])
+        # Per-round host stages (scalar folds, inner products, word
+        # encodes) are independent across jobs and the heavy parts release
+        # the GIL (C++ scvec, numpy) — a small pool overlaps them.  Device
+        # dispatch order changes, proof bytes do not (per-job transcript
+        # and rng order is untouched).
+        pool = None
+        if len(states) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                max_workers=min(len(states), max(1, (os.cpu_count() or 4) - 1))
+            )
+        try:
+            while True:
+                active = [(idx, s) for idx, s in states if s.n > 1]
+                if not active:
+                    break
+                if pool is not None:
+                    pairs = list(
+                        pool.map(lambda a: a[1].round_dispatch(), active)
+                    )
+                else:
+                    pairs = [s.round_dispatch() for _, s in active]
+                accs = [acc for pair in pairs for acc in pair]
+                t0 = time.time() if _TIMING else 0
+                pts = ck.fetch_points(accs)
+                if _TIMING:
+                    TIMER.add("pair_sync", time.time() - t0)
+                if pool is not None:
+                    list(pool.map(
+                        lambda a: a[1][1].round_finish(
+                            pts[2 * a[0]], pts[2 * a[0] + 1]
+                        ),
+                        enumerate(active),
+                    ))
+                else:
+                    for j, (_, s) in enumerate(active):
+                        s.round_finish(pts[2 * j], pts[2 * j + 1])
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
         for idx, s in states:
             out[idx] = s.result()
         if states:

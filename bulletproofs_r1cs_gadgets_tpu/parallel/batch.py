@@ -40,7 +40,7 @@ class BatchResult:
 
 def prove_provers(
     provers: list[Prover], bp_gens: BulletproofGens, backend=None,
-    host_workers: int | None = None,
+    host_workers: int | None = None, waves: int = 1,
 ) -> list[R1CSProof]:
     """Prove B fully-synthesized provers with staged device fusion.
 
@@ -50,9 +50,28 @@ def prove_provers(
     happen in the sequential path's order, so a prover with a
     deterministic private rng produces byte-identical proofs either
     way.  ``host_workers=1`` additionally preserves the *cross-prover*
-    order of any shared (global) entropy source."""
+    order of any shared (global) entropy source.
+
+    ``waves > 1`` splits the batch into that many contiguous groups whose
+    staged pipelines run on separate threads: while one wave blocks on a
+    device sync the other waves' host stages (and queued device work)
+    proceed, hiding sync latency and host/device idle gaps.  Proof bytes
+    are unchanged (grouping only interleaves independent pipelines)."""
     if backend is None or not hasattr(backend, "phase_commitments_batch"):
         return [p.prove(bp_gens, backend=backend) for p in provers]
+    if waves > 1 and len(provers) >= 2 * waves:
+        from concurrent.futures import ThreadPoolExecutor
+
+        k = -(-len(provers) // waves)
+        groups = [provers[i : i + k] for i in range(0, len(provers), k)]
+        with ThreadPoolExecutor(max_workers=len(groups)) as pool:
+            outs = list(pool.map(
+                lambda g: prove_provers(
+                    g, bp_gens, backend=backend, host_workers=host_workers
+                ),
+                groups,
+            ))
+        return [p for out in outs for p in out]
 
     # Host stages run on a thread pool: each prover's work is independent
     # and the heavy parts (C++ scvec ops, numpy encodes, flatten) release

@@ -261,3 +261,36 @@ def test_batch_verify_single_msm():
         batch_verify(
             verifiers, [made[0][0], bad, rproof], PC, BP,
         )
+
+
+def test_prove_provers_waves_roundtrip():
+    """waves=2 splits the batch into concurrently-driven pipelines; every
+    proof must still verify and batch order must be preserved."""
+    from bulletproofs_r1cs_gadgets_tpu import Prover, Transcript, Verifier
+    from bulletproofs_r1cs_gadgets_tpu.ops.backend import DeviceBackend
+    from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
+
+    vals = [(Scalar(3), Scalar(5)), (Scalar(7), Scalar(11)),
+            (Scalar(13), Scalar(17)), (Scalar(19), Scalar(23))]
+
+    provers, pubs = [], []
+    for p_w, q_w in vals:
+        pr = Prover(PC, Transcript(b"WaveFactors"))
+        com_p, var_p = pr.commit(p_w, Scalar.random())
+        com_q, var_q = pr.commit(q_w, Scalar.random())
+        _, _, o = pr.multiply(var_p, var_q)
+        constrain_lc_with_scalar(pr, o, p_w * q_w)
+        provers.append(pr)
+        pubs.append((com_p, com_q, p_w * q_w))
+
+    proofs = prove_provers(
+        provers, BP, backend=DeviceBackend(min_device_n=1 << 30), waves=2
+    )
+    assert len(proofs) == 4
+    for proof, (com_p, com_q, r) in zip(proofs, pubs):
+        ve = Verifier(Transcript(b"WaveFactors"))
+        var_p = ve.commit(com_p)
+        var_q = ve.commit(com_q)
+        _, _, o = ve.multiply(var_p, var_q)
+        constrain_lc_with_scalar(ve, o, r)
+        ve.verify(proof, PC, BP)
