@@ -408,6 +408,50 @@ def msm_win(table: jnp.ndarray, words_big: jnp.ndarray, valid: int,
     return pc.msm_win_dyn(table, words_big, chain, info, valid)
 
 
+# ------------------------------------------------------- frozen-tail pack
+_frozen_pack_fns: dict = {}
+
+
+def frozen_pack(g_chunk: jnp.ndarray, h_chunk: jnp.ndarray,
+                q_chunk: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Packed frozen-tail point array for the late IPP rounds: lanes
+    [G(S) | H(S) | Q | identity...] in ONE chunk, duplicated into the
+    first two chunks of a capacity array so ``msm_grid_pair`` with
+    valid_half=1 walks the L words over chunk 0 and the R words over
+    chunk 1 (see pallas_backend frozen-tail helpers).  Requires
+    2*S + 1 <= CHUNK; jitted once per S."""
+    assert 2 * S + 1 <= CHUNK
+    fn = _frozen_pack_fns.get(S)
+    if fn is None:
+        pad = CHUNK - (2 * S + 1)
+
+        @jax.jit
+        def fn(g, h, q):
+            gf = g.reshape(ROWS, CHUNK)[:, :S]
+            hf = h.reshape(ROWS, CHUNK)[:, :S]
+            qf = q.reshape(ROWS, CHUNK)[:, :1]
+            packed = jnp.concatenate(
+                [gf, hf, qf, _IDENT_FLAT[:, :pad]], axis=1
+            ).reshape(ROWS, pc.SUB, pc.LAN_BLOCK)
+            two = jnp.concatenate([packed, packed], axis=2)
+            return jnp.pad(
+                two,
+                ((0, 0), (0, 0), (0, GRID_LANES - 2 * pc.LAN_BLOCK)),
+            )
+
+        _frozen_pack_fns[S] = fn
+    return fn(g_chunk, h_chunk, q_chunk)
+
+
+def frozen_pair_words(rowsL: np.ndarray, rowsR: np.ndarray) -> jnp.ndarray:
+    """(2S+1, 4) u64 L/R composite-scalar rows -> capacity word array with
+    the L words in chunk 0 and the R words in chunk 1 (w4 digits)."""
+    arr = np.zeros((2 * CHUNK, 4), np.uint64)
+    arr[: rowsL.shape[0]] = rowsL
+    arr[CHUNK : CHUNK + rowsR.shape[0]] = rowsR
+    return grid_words(arr, 2)
+
+
 # --------------------------------------------------------------- MSM chain
 def msm_chain(pts_chunks, word_chunks, acc=None) -> jnp.ndarray:
     """Chained MSM over aligned chunk lists (signed-digit words); returns

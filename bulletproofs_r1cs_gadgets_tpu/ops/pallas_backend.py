@@ -456,6 +456,79 @@ def _ones_rows(m: int) -> np.ndarray:
     return got
 
 
+# ------------------------------------------------------------- frozen tail
+# Once both generator vectors fit half a chunk (side size S <= 512), the
+# per-round device folds and separate L/R/Q dispatches stop paying for
+# their fixed costs: each dispatch runs a full 2048-lane block no matter
+# how few lanes are live (measured ~10-18 ms each), so a late round cost
+# ~63 ms of device time for a handful of real point-ops.
+#
+# The frozen-tail path instead PINS the generator vectors at size S and
+# expresses every remaining round over them with composite scalars: a
+# skipped fold D'_i = D_i + c_i * D_{i+mu} is absorbed into per-frozen-
+# index factor vectors FF (host, (S, 4) u64), and a round's L and R MSMs
+# become ONE `msm_grid_pair` dispatch over a fixed packed array
+# [G(S) | H(S) | Q | identity...] duplicated in two capacity chunks (low
+# chunk takes the L words, high chunk the R words, the Q lane absorbs
+# c_L / c_R).  Host work is O(S) numpy/C++ per round; device work is one
+# two-chunk walk (~19 ms) instead of 2 walks + 2 Q chains + 2 folds.
+# Proof bytes are unchanged (the L/R points are mathematically identical).
+#
+# These helpers are pure (host) so tests/test_ipp_frozen_tail.py can pin
+# the math against the host IPP without TPU kernels.
+FROZEN_MAX_SIDE = 512  # S: frozen side size cap (2*S + 1 lanes <= CHUNK)
+
+
+def frozen_fold_update(FF: np.ndarray, mu: int, rbp: int, cA, cB
+                       ) -> np.ndarray:
+    """Absorb one skipped generator fold (virtual size 2*mu -> mu, fold
+    constant cA for output index < rbp else cB) into the frozen factor
+    vector: FF'_k = FF_k * c_{(k mod 2mu) - mu} when (k mod 2mu) >= mu."""
+    S = FF.shape[0]
+    k = np.arange(S)
+    v = k % (2 * mu)
+    hi = v >= mu
+    i = np.where(hi, v - mu, 0)
+    c_rows = np.where(
+        hi[:, None],
+        np.where((i < rbp)[:, None], scvec.scalar_to_row(cA),
+                 scvec.scalar_to_row(cB)),
+        scvec.scalar_to_row(Scalar.one()),
+    ).astype(np.uint64)
+    return scvec.mul(FF, np.ascontiguousarray(c_rows))
+
+
+def frozen_walk_rows(
+    S: int, m: int, scG_L, scH_L, scG_R, scH_R, FFG, FFH, c_L, c_R,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Composite MSM scalar rows for one frozen round (virtual size
+    2m -> m).  Returns (rowsL, rowsR), each (2S+1, 4) u64 over the packed
+    lane layout [G(S) | H(S) | Q]:
+
+      L = c_L*Q + <scG_L, G'[m:2m)> + <scH_L, H'[0:m)>
+      R = c_R*Q + <scG_R, G'[0:m)>  + <scH_R, H'[m:2m)>
+
+    where virtual gen j = sum_{k = j mod 2m} FF_k * frozen_k."""
+    k = np.arange(S)
+    v = k % (2 * m)
+    hi = v >= m
+    zero = np.zeros((1, 4), np.uint64)
+
+    def gather(t, idx, mask):
+        rows = np.ascontiguousarray(
+            np.where(mask[:, None], t[idx], zero).astype(np.uint64)
+        )
+        return rows
+
+    g_L = scvec.mul(gather(scG_L, np.where(hi, v - m, 0), hi), FFG)
+    h_L = scvec.mul(gather(scH_L, np.where(hi, 0, v), ~hi), FFH)
+    g_R = scvec.mul(gather(scG_R, np.where(hi, 0, v), ~hi), FFG)
+    h_R = scvec.mul(gather(scH_R, np.where(hi, v - m, 0), hi), FFH)
+    rowsL = np.concatenate([g_L, h_L, scvec.scalar_to_row(c_L)[None]])
+    rowsR = np.concatenate([g_R, h_R, scvec.scalar_to_row(c_R)[None]])
+    return rowsL, rowsR
+
+
 class _IppJob:
     """Per-proof state of a device-backed IPP, advanced one log-round at a
     time by :meth:`PallasBackend.ipp_create_batch`.
@@ -467,7 +540,13 @@ class _IppJob:
     factors multiply into the L/R MSM *scalars* (cheap C++ vector muls),
     so folds need no per-lane scalar words, cost a single shared-table w4
     ladder (~330 point-ops vs ~516 dual w2), and can run in place
-    (pallas_curve.fold_grid_c_donate) — proof bytes are unchanged."""
+    (pallas_curve.fold_grid_c_donate) — proof bytes are unchanged.
+
+    Late rounds (both sides <= FROZEN_MAX_SIDE lanes) switch to the
+    frozen-tail mode (module helpers above): one pair dispatch per round
+    over a pinned [G|H|Q] packing, folds absorbed into host factor
+    vectors.  Q terms of non-frozen rounds are added on host in
+    round_finish (cheaper than single-lane device chains)."""
 
     def __init__(
         self, backend: PallasBackend, transcript, Q, G_factors, H_factors,
@@ -486,6 +565,27 @@ class _IppJob:
         self.uphi = meta.get("u", Scalar.one())
         self.y_inv = meta.get("y_inv", Scalar.one())
         self._a_nz = int(meta.get("n_real", padded_n))
+        self.Qpt = Q
+        self._host_q = False
+        self.qc = backend._cached_point_chunk("Q", Q)
+        # frozen-tail state (None until both sides fit half a chunk)
+        self.fz = None
+        self.fzS = 0
+        self.FFG = self.FFH = None
+        if padded_n <= FROZEN_MAX_SIDE:
+            # small proof: frozen from round 1 — ONE pair dispatch per
+            # round, no generator folds at all
+            Gc = backend._gens_chunks(gens_share, padded_n, "G")[0]
+            Hc = backend._gens_chunks(gens_share, padded_n, "H")[0]
+            self._freeze(Gc, Hc, padded_n)
+            self.G = self.H = None
+            self.G_big = self.H_big = None
+            self._owns_big = False
+            self.L_vec = []
+            self.R_vec = []
+            if _TIMING:
+                TIMER.add("ipp_upload", time.time() - t0)
+            return
         k0 = _nchunks(padded_n)
         self.G_big = (
             backend._gens_big(gens_share, padded_n, "G") if k0 >= 2 else None
@@ -507,19 +607,32 @@ class _IppJob:
             self.H = list(backend._gens_chunks(gens_share, padded_n, "H"))
         # first fold reads the shared generator cache arrays -> no donation
         self._owns_big = False
-        self.qc = backend._cached_point_chunk("Q", Q)
         self.L_vec: list[bytes] = []
         self.R_vec: list[bytes] = []
         if _TIMING:
             TIMER.add("ipp_upload", time.time() - t0)
 
+    def _freeze(self, g_chunk, h_chunk, S: int) -> None:
+        """Enter frozen-tail mode with side size S (points packed once;
+        factor vectors start at one — callers absorb any skipped fold via
+        :func:`frozen_fold_update` afterwards)."""
+        self.fz = ck.frozen_pack(g_chunk, h_chunk, self.qc, S)
+        self.fzS = S
+        ones = _ones_rows(S).astype(np.uint64)
+        self.FFG = ones.copy()
+        self.FFH = ones.copy()
+
     def _to_chunks_if_tail(self):
         """Drop from capacity-array mode to the single-chunk tail path
-        once n < CHUNK (the unfolded vector then fits one chunk)."""
+        once n < CHUNK (the unfolded vector then fits one chunk); the
+        owned half-capacity tables are released (the remaining rounds
+        never walk them — ~770 MB/job of HBM back)."""
         if self.G_big is not None and self.n < CHUNK:
             self.G = [ck.big_chunk0(self.G_big)]
             self.H = [ck.big_chunk0(self.H_big)]
             self.G_big = self.H_big = None
+            if _WINMSM and getattr(self, "_tbl_owned", False):
+                self.tG = self.tH = None
 
     def round_dispatch(self):
         """Halve n, compute this round's scalar operands on host and queue
@@ -545,8 +658,26 @@ class _IppJob:
         if _TIMING:
             TIMER.add("ipp_host_scalars", time.time() - t0)
             t0 = time.time()
+        if self.fz is not None:
+            # frozen tail: ONE pair dispatch for L and R (Q lane included)
+            self._host_q = False
+            rowsL, rowsR = frozen_walk_rows(
+                self.fzS, n, scG_L, scH_L, scG_R, scH_R,
+                self.FFG, self.FFH, self.c_L, self.c_R,
+            )
+            pair = ck.msm_grid_pair(
+                self.fz, ck.frozen_pair_words(rowsL, rowsR), 1
+            )
+            if _TIMING:
+                TIMER.add("pair_dispatch", time.time() - t0)
+            return ck.pair_lo(pair), ck.pair_hi(pair)
         self._to_chunks_if_tail()
         G, H, qc = self.G, self.H, self.qc
+        # Q's c_L/c_R terms: a single-lane device chain dispatch costs
+        # ~10 ms per side per round; a host scalar_mul costs ~2 ms and
+        # overlaps other proofs' device work in the batch — so every
+        # non-frozen round defers Q to round_finish (host).
+        self._host_q = True
         if n >= CHUNK and self.G_big is not None and _WINMSM:
             # window-accumulator walks over the current tables: word
             # layout matches the arrays (G side: scG_R at chunks [0,k),
@@ -555,16 +686,14 @@ class _IppJob:
             kR = max(1, _nchunks(nzR)) if nzR < n else k
             wG = ck.grid_words(np.concatenate([scG_R, scG_L]), 2 * k)
             wH = ck.grid_words(np.concatenate([scH_L, scH_R]), 2 * k)
-            accL = ck.msm_chain([qc], [ck.single_scalar_words(self.c_L)])
-            accL = ck.msm_win(self.tG, wG, k, poff=k, woff=k, chain=accL)
+            accL = ck.msm_win(self.tG, wG, k, poff=k, woff=k)
             accL = ck.msm_win(self.tH, wH, k, chain=accL)
-            accR = ck.msm_chain([qc], [ck.single_scalar_words(self.c_R)])
-            accR = ck.msm_win(self.tG, wG, kR, chain=accR)
+            accR = ck.msm_win(self.tG, wG, kR)
             accR = ck.msm_win(self.tH, wH, k, poff=k, woff=k, chain=accR)
         elif n >= CHUNK and self.G_big is not None:
             # fused pair walks: G_big chunks [0,k) carry scG_R -> R and
             # [k,2k) carry scG_L -> L; H_big [0,k) carry scH_L -> L and
-            # [k,2k) carry scH_R -> R.  2 dispatches + 2 Q chains/round.
+            # [k,2k) carry scH_R -> R.  2 dispatches/round.
             k = n // CHUNK
             kR = max(1, _nchunks(nzR)) if nzR < n else k
             pG = ck.msm_grid_pair(
@@ -577,37 +706,25 @@ class _IppJob:
                 ck.grid_words(np.concatenate([scH_L, scH_R]), 2 * k),
                 k, acc_lo=ck.pair_hi(pG), acc_hi=ck.pair_lo(pG),
             )
-            accL = ck.msm_chain(
-                [qc], [ck.single_scalar_words(self.c_L)],
-                acc=ck.pair_lo(pH),
-            )
-            accR = ck.msm_chain(
-                [qc], [ck.single_scalar_words(self.c_R)],
-                acc=ck.pair_hi(pH),
-            )
+            accL = ck.pair_lo(pH)
+            accR = ck.pair_hi(pH)
         elif n >= CHUNK:
             k = n // CHUNK
             accL = ck.msm_chain(
-                G[k : 2 * k] + H[:k] + [qc],
-                ck.segment_words([(scG_L, k), (scH_L, k)])
-                + [ck.single_scalar_words(self.c_L)],
+                G[k : 2 * k] + H[:k],
+                ck.segment_words([(scG_L, k), (scH_L, k)]),
             )
             accR = ck.msm_chain(
-                G[:k] + H[k : 2 * k] + [qc],
-                ck.segment_words([(scG_R, k), (scH_R, k)])
-                + [ck.single_scalar_words(self.c_R)],
+                G[:k] + H[k : 2 * k],
+                ck.segment_words([(scG_R, k), (scH_R, k)]),
             )
         else:
             ptsL, ptsR = ck._tail_pack_pair(G[0], H[0], n)
             accL = ck.msm_chain(
-                [ptsL, qc],
-                [ck.tail_pair_words(scG_L, scH_L, n),
-                 ck.single_scalar_words(self.c_L)],
+                [ptsL], [ck.tail_pair_words(scG_L, scH_L, n)]
             )
             accR = ck.msm_chain(
-                [ptsR, qc],
-                [ck.tail_pair_words(scG_R, scH_R, n),
-                 ck.single_scalar_words(self.c_R)],
+                [ptsR], [ck.tail_pair_words(scG_R, scH_R, n)]
             )
         if _TIMING:
             TIMER.add("pair_dispatch", time.time() - t0)
@@ -619,6 +736,11 @@ class _IppJob:
         fold dispatches (NO sync)."""
         n = self.n
         a_L, a_R, b_L, b_R = self._halves
+        if self._host_q:
+            # Q terms deferred from round_dispatch (cheaper on host than
+            # as single-lane device chain dispatches)
+            L_pt = L_pt + self.Qpt.scalar_mul(self.c_L)
+            R_pt = R_pt + self.Qpt.scalar_mul(self.c_R)
         L_c = L_pt.compress()
         R_c = R_pt.compress()
         self.L_vec.append(L_c)
@@ -648,6 +770,25 @@ class _IppJob:
         if _TIMING:
             TIMER.add("ipp_host_folds", time.time() - t0)
             t0 = time.time()
+        if self.fz is not None:
+            # frozen tail: the fold is absorbed into the factor vectors
+            self.FFG = frozen_fold_update(self.FFG, n, rbp, cG[0], cG[1])
+            self.FFH = frozen_fold_update(self.FFH, n, rbp, cH[0], cH[1])
+            if _TIMING:
+                TIMER.add("ipp_host_folds", time.time() - t0)
+            return
+        if (self.G_big is None and self.G is not None
+                and n <= FROZEN_MAX_SIDE // 2):
+            # both sides (size 2n) fit half a chunk: freeze pre-fold and
+            # absorb THIS round's fold into the fresh factor vectors —
+            # every remaining round is one pair dispatch, no device folds
+            self._freeze(self.G[0], self.H[0], 2 * n)
+            self.FFG = frozen_fold_update(self.FFG, n, rbp, cG[0], cG[1])
+            self.FFH = frozen_fold_update(self.FFH, n, rbp, cH[0], cH[1])
+            self.G = self.H = None
+            if _TIMING:
+                TIMER.add("fold_dispatch", time.time() - t0)
+            return
         if n >= CHUNK and self.G_big is not None:
             k = n // CHUNK
             self.G_big = ck.fold_big_c(

@@ -178,7 +178,46 @@ def _prove(gens, backend, monkeypatch):
     return com, com2, o, prover.prove(bp_gens, backend=backend)
 
 
+def sim_msm_grid_pair(points, words, acc2, info):
+    """Exact host mirror of the pair grid MSM kernel: chunks [0, v) sum
+    into the low output block, [v, 2v) into the high one (w4 scalars),
+    each block-reduced and chained through its accumulator."""
+    v, lo_limit, hi_limit = int(info[0]), int(info[1]), int(info[2])
+    w = np.asarray(words)
+    p = np.asarray(points)
+    a2 = np.asarray(acc2)
+    outs = []
+    for half, limit in ((0, lo_limit), (1, hi_limit)):
+        total = RistrettoPoint.identity()
+        for c in range(half * v, half * v + min(v, limit)):
+            sl = slice(c * pc.LAN_BLOCK, (c + 1) * pc.LAN_BLOCK)
+            wc = w[:, :, sl]
+            prows = _flat(p[:, :, sl])
+            nz = np.nonzero(wc.any(axis=0).reshape(-1))[0]
+            for i in nz:
+                total = total + _smul(
+                    _lane_point(prows, i), _decode_w4_lane(wc, i)
+                )
+        hsl = slice(half * pc.LAN_BLOCK, (half + 1) * pc.LAN_BLOCK)
+        prev = _lane_point(_flat(a2[:, :, hsl]), 0)
+        outs.append(total + prev)
+    from bulletproofs_r1cs_gadgets_tpu.ops.curve import _ints_to_limbs_vec
+
+    out = np.empty((pc.ROWS, pc.SUB, 2 * pc.LAN_BLOCK), np.int32)
+    for half, ptx in enumerate(outs):
+        col = _ints_to_limbs_vec(
+            [ptx.X, ptx.Y, ptx.Z, ptx.T]
+        ).reshape(pc.ROWS, 1, 1)
+        out[:, :, half * pc.LAN_BLOCK : (half + 1) * pc.LAN_BLOCK] = col
+    return jnp.asarray(out)
+
+
 def test_factor_fold_ipp_byte_exact(monkeypatch):
+    """Legacy (pre-frozen-tail) device IPP path: per-round device folds +
+    packed tail rounds, byte-exact vs the host engine."""
+    import bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend as pb
+
+    monkeypatch.setattr(pb, "FROZEN_MAX_SIDE", 0)  # disable frozen tail
     gens = (PedersenGens.default(), BulletproofGens(64))
     com, com2, _, ref = _prove(gens, None, monkeypatch)
 
@@ -191,6 +230,30 @@ def test_factor_fold_ipp_byte_exact(monkeypatch):
     assert got.to_bytes() == ref.to_bytes()
 
     # and the device-path proof verifies against a fresh host verifier
+    verifier = Verifier(Transcript(b"ffold"))
+    v = verifier.commit(com)
+    v2 = verifier.commit(com2)
+    _, _, o = verifier.multiply(v + v2, v - v2)
+    for _ in range(32):
+        _, _, o = verifier.multiply(o + Scalar(1), o + Scalar(2))
+    verifier.verify(got, *gens)
+
+
+def test_frozen_tail_ipp_byte_exact(monkeypatch):
+    """Frozen-tail device IPP (padded 64 <= FROZEN_MAX_SIDE freezes from
+    round 1): every round one pair dispatch over the packed [G|H|Q]
+    array; proof bytes must be identical to the host engine's."""
+    gens = (PedersenGens.default(), BulletproofGens(64))
+    com, com2, _, ref = _prove(gens, None, monkeypatch)
+
+    monkeypatch.setattr(pc, "msm_chunk_acc_w4", sim_msm_chunk_acc_w4)
+    monkeypatch.setattr(pc, "msm_grid_pair", sim_msm_grid_pair)
+    backend = PallasBackend()
+    com_b, com2_b, _, got = _prove(gens, backend, monkeypatch)
+
+    assert (com, com2) == (com_b, com2_b)
+    assert got.to_bytes() == ref.to_bytes()
+
     verifier = Verifier(Transcript(b"ffold"))
     v = verifier.commit(com)
     v2 = verifier.commit(com2)
