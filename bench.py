@@ -382,15 +382,26 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
         provers = list(pool.map(_build, range(B)))
     log(f"[stage4] built {B} provers in {time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    proofs = prove_provers(
-        [p for p, _ in provers], bp_gens, backend=backend, waves=waves
-    )
-    dt = time.time() - t0
-    log(
-        f"[stage4] batch prove B={B} waves={waves}: {dt:.1f}s total, "
-        f"{dt/B:.2f}s/proof ({serial_dt/(dt/B):.2f}x serial)"
-    )
+    # two passes: the first absorbs batch-only one-time costs (fused
+    # fetch-stack compiles, straggler allocs); the second is steady state.
+    # Snapshots let the same synthesized provers prove twice.
+    snaps = [p.snapshot() for p, _ in provers]
+    dt = None
+    for rep in range(2):
+        if rep:
+            for (p, _), s in zip(provers, snaps):
+                p.restore(s)
+        t0 = time.time()
+        proofs = prove_provers(
+            [p for p, _ in provers], bp_gens, backend=backend, waves=waves
+        )
+        rep_dt = time.time() - t0
+        dt = rep_dt if dt is None else min(dt, rep_dt)
+        log(
+            f"[stage4] batch prove B={B} waves={waves} pass {rep}: "
+            f"{rep_dt:.1f}s total, {rep_dt/B:.2f}s/proof "
+            f"({serial_dt/(rep_dt/B):.2f}x serial)"
+        )
 
     # verify every batched proof — combined into ONE mega-MSM
     from bulletproofs_r1cs_gadgets_tpu import batch_verify

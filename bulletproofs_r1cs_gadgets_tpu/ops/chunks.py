@@ -329,6 +329,65 @@ def big_chunk0(big: jnp.ndarray) -> jnp.ndarray:
     return big[:, :, : pc.LAN_BLOCK]
 
 
+def big_chunk(big: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Chunk `c` of a capacity array (python-int index; eager slice)."""
+    return big[:, :, c * pc.LAN_BLOCK : (c + 1) * pc.LAN_BLOCK]
+
+
+_combine_fns: dict = {}
+
+
+def combine_big(a: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Two capacity arrays (valid chunks [0, k) each) -> ONE combined
+    capacity array with a's chunks at [0, k) and b's at [k, 2k); a 192 MB
+    device copy (~0.5 ms), paid once per proof at the round-1 -> round-2
+    transition into the combined G|H layout."""
+    assert 2 * k <= GRID_CHUNKS
+    fn = _combine_fns.get(k)
+    if fn is None:
+        w = k * pc.LAN_BLOCK
+
+        @jax.jit
+        def fn(x, y):
+            cat = jnp.concatenate([x[:, :, :w], y[:, :, :w]], axis=2)
+            return jnp.pad(
+                cat, ((0, 0), (0, 0), (0, GRID_LANES - 2 * w))
+            )
+
+        _combine_fns[k] = fn
+    return fn(a, b)
+
+
+def _c_fold_words_comb(cGA, cGB, cHA, cHB, bp: int, h: int) -> jnp.ndarray:
+    """Word array for the combined-layout fold: out chunks [0, h) carry
+    the G-side piecewise constants (cGA below point index bp, cGB beyond)
+    and chunks [h, 2h) the H-side pair, both with the same side-local
+    breakpoint."""
+    side = np.empty((2, h * CHUNK, 8), np.int32)
+    for s, (cA, cB) in enumerate(((cGA, cGB), (cHA, cHB))):
+        dA = signed_digit_words(scvec.scalar_to_row(cA)[None])[0]
+        dB = signed_digit_words(scvec.scalar_to_row(cB)[None])[0]
+        j = min(max(bp, 0), h * CHUNK)
+        side[s, :j] = dA
+        side[s, j:] = dB
+    w = side.reshape(2 * h * CHUNK, 8)
+    cat = jnp.asarray(
+        np.ascontiguousarray(
+            w.reshape(2 * h, pc.SUB, pc.LAN_BLOCK, 8).transpose(3, 1, 0, 2)
+        ).reshape(8, pc.SUB, 2 * h * pc.LAN_BLOCK)
+    )
+    return _pad_to_capacity(cat) if 2 * h < GRID_CHUNKS else cat
+
+
+def fold_big_c_comb(big: jnp.ndarray, h: int, bp: int, cG, cH) -> jnp.ndarray:
+    """Combined-layout constant fold (donating): input G chunks [0, 2h) +
+    H chunks [2h, 4h) -> output G' [0, h) + H' [h, 2h); cG/cH are the
+    (below-bp, beyond-bp) constant pairs of each side."""
+    assert 1 <= 2 * h <= GRID_CHUNKS // 2
+    words = _c_fold_words_comb(cG[0], cG[1], cH[0], cH[1], bp, h)
+    return pc.fold_grid_c_comb(big, words, _info(2 * h))
+
+
 # ------------------------------------------------------- fused pair MSMs
 @jax.jit
 def _pair_cat(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
@@ -386,6 +445,8 @@ def table_big(points_big: jnp.ndarray, valid: int,
     info = _info(valid)
     if not half:
         assert valid <= GRID_CHUNKS
+        if old is not None:
+            return pc.table_grid_full_donate(old, points_big, info, valid)
         return pc.table_grid_full(points_big, info, valid)
     assert valid <= HALF_CHUNKS
     if old is not None:

@@ -568,6 +568,9 @@ class _IppJob:
         self.Qpt = Q
         self._host_q = False
         self.qc = backend._cached_point_chunk("Q", Q)
+        # combined G|H capacity array + table (winmsm rounds >= 2)
+        self.C_big = None
+        self.tC = None
         # frozen-tail state (None until both sides fit half a chunk)
         self.fz = None
         self.fzS = 0
@@ -678,6 +681,20 @@ class _IppJob:
         # overlaps other proofs' device work in the batch — so every
         # non-frozen round defers Q to round_finish (host).
         self._host_q = True
+        if n >= CHUNK and self.C_big is not None:
+            # combined-layout rounds (>= 2, winmsm): sides are 2k chunks,
+            # G at [0, 2k), H at [2k, 4k) of ONE capacity array + table.
+            # L's two segments (G high half + H low half) are contiguous:
+            # ONE walk; R takes two.
+            k = n // CHUNK
+            wL = ck.grid_words(np.concatenate([scG_L, scH_L]), 2 * k)
+            wR = ck.grid_words(np.concatenate([scG_R, scH_R]), 2 * k)
+            accL = ck.msm_win(self.tC, wL, 2 * k, poff=k)
+            accR = ck.msm_win(self.tC, wR, k)
+            accR = ck.msm_win(self.tC, wR, k, poff=3 * k, woff=k, chain=accR)
+            if _TIMING:
+                TIMER.add("pair_dispatch", time.time() - t0)
+            return accL, accR
         if n >= CHUNK and self.G_big is not None and _WINMSM:
             # window-accumulator walks over the current tables: word
             # layout matches the arrays (G side: scG_R at chunks [0,k),
@@ -789,23 +806,44 @@ class _IppJob:
             if _TIMING:
                 TIMER.add("fold_dispatch", time.time() - t0)
             return
-        if n >= CHUNK and self.G_big is not None:
+        if n >= CHUNK and self.C_big is not None:
+            # combined fold: ONE dispatch halves both sides in place, then
+            # one full-table prepass for the next round's walks
             k = n // CHUNK
-            self.G_big = ck.fold_big_c(
-                self.G_big, k, rbp, cG[0], cG[1], donate=self._owns_big
-            )
-            self.H_big = ck.fold_big_c(
-                self.H_big, k, rbp, cH[0], cH[1], donate=self._owns_big
-            )
-            self._owns_big = True
+            self.C_big = ck.fold_big_c_comb(self.C_big, k, rbp, cG, cH)
+            if k >= 2:
+                self.tC = ck.table_big(
+                    self.C_big, 2 * k, half=False, old=self.tC
+                )
+            else:
+                # sides are single chunks now: drop to the tail path
+                self.G = [ck.big_chunk(self.C_big, 0)]
+                self.H = [ck.big_chunk(self.C_big, 1)]
+                self.C_big = self.tC = None
+        elif n >= CHUNK and self.G_big is not None:
+            k = n // CHUNK
             if _WINMSM and n >= 2 * CHUNK:
-                # next round still walks capacity arrays: prepass the fold
-                # outputs (k chunks) into the owned half-capacity tables
-                old_G = self.tG if self._tbl_owned else None
-                old_H = self.tH if self._tbl_owned else None
-                self.tG = ck.table_big(self.G_big, k, half=True, old=old_G)
-                self.tH = ck.table_big(self.H_big, k, half=True, old=old_H)
-                self._tbl_owned = True
+                # round 1 -> combined layout: fold each side into a fresh
+                # capacity array, combine to [G'(k) | H'(k)], prepass ONE
+                # full-capacity table over both sides
+                gA = ck.fold_big_c(
+                    self.G_big, k, rbp, cG[0], cG[1], donate=False
+                )
+                gB = ck.fold_big_c(
+                    self.H_big, k, rbp, cH[0], cH[1], donate=False
+                )
+                self.C_big = ck.combine_big(gA, gB, k)
+                self.G_big = self.H_big = None
+                self.tG = self.tH = None
+                self.tC = ck.table_big(self.C_big, 2 * k, half=False)
+            else:
+                self.G_big = ck.fold_big_c(
+                    self.G_big, k, rbp, cG[0], cG[1], donate=self._owns_big
+                )
+                self.H_big = ck.fold_big_c(
+                    self.H_big, k, rbp, cH[0], cH[1], donate=self._owns_big
+                )
+                self._owns_big = True
         elif n >= CHUNK:
             # chunk-list path (circuits beyond the grid capacity): dual
             # bit-serial fold with ones on the left, c_i on the right

@@ -521,6 +521,54 @@ fold_grid_c = jax.jit(_fold_c_call)
 fold_grid_c_donate = jax.jit(_fold_c_call, donate_argnums=(0,))
 
 
+# ------------------------------------------------- combined-layout fold
+# With BOTH generator vectors in ONE capacity array (G chunks [0, k), H
+# chunks [k, 2k)), a single dispatch folds both sides: out chunks [0, h)
+# hold G' and [h, 2h) hold H' (h = k/2), with per-chunk L/R addressing
+#   L(j) = j            for j < h   (G low half)
+#        = j + h        for j >= h  (H low half, input offset k = 2h)
+#   R(j) = L(j) + h
+# Words carry the G-side constants in chunks [0, h) and the H-side in
+# [h, 2h) (chunks._c_fold_words_comb).  In-place safe when donated: step j
+# writes chunk j and reads chunks >= j only.
+def _fold_c_comb_call(big: jnp.ndarray, words: jnp.ndarray,
+                      info: jnp.ndarray) -> jnp.ndarray:
+    assert big.shape == (ROWS, SUB, GRID_LANES)
+    assert words.shape == (8, SUB, GRID_LANES)
+
+    def _lmap(j, info):
+        h = info[0] // 2
+        jj = jnp.minimum(j, info[0] - 1)
+        return (0, 0, jnp.where(jj < h, jj, jj + h))
+
+    def _rmap(j, info):
+        h = info[0] // 2
+        jj = jnp.minimum(j, info[0] - 1)
+        return (0, 0, jnp.where(jj < h, jj, jj + h) + h)
+
+    out_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
+    return pl.pallas_call(
+        _fold_c_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(GRID_CHUNKS // 2,),
+            in_specs=[
+                pl.BlockSpec((ROWS, SUB, LAN_BLOCK), _lmap),
+                pl.BlockSpec((ROWS, SUB, LAN_BLOCK), _rmap),
+                _grid_wspec(),
+            ],
+            out_specs=out_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, GRID_LANES), jnp.int32),
+    )(info, big, big, words)
+
+
+fold_grid_c_comb = jax.jit(_fold_c_comb_call, donate_argnums=(0,))
+
+
 # ------------------------------------------------------ fused pair grid MSM
 # The IPP needs, per log-round, FOUR generator-segment MSMs: the L point
 # takes <scG_L, D[v:2v)> + <scH_L, D_H[0:v)>, the R point the complements.
@@ -765,6 +813,10 @@ table_grid_half = jax.jit(
 # rounds >= 3 own their table buffer; XLA reuses it in place
 table_grid_half_donate = jax.jit(
     lambda old, p, info, v: _table_call(p, info, v, GRID_CHUNKS // 2),
+    donate_argnums=(0,),
+)
+table_grid_full_donate = jax.jit(
+    lambda old, p, info, v: _table_call(p, info, v, GRID_CHUNKS),
     donate_argnums=(0,),
 )
 

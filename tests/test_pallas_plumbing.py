@@ -49,7 +49,8 @@ def fake_kernels(monkeypatch, request):
     monkeypatch.setattr(pbm, "_WINMSM", request.param)
     calls = {
         "msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0,
-        "fold_grid_c": 0, "fold_grid_c_donate": 0, "msm_grid_pair": 0,
+        "fold_grid_c": 0, "fold_grid_c_donate": 0, "fold_grid_c_comb": 0,
+        "msm_grid_pair": 0,
         "table_big": 0, "msm_win": 0, "winmsm": request.param,
     }
 
@@ -143,6 +144,9 @@ def fake_kernels(monkeypatch, request):
     monkeypatch.setattr(
         pc, "fold_grid_c_donate", _fold_grid_c("fold_grid_c_donate")
     )
+    monkeypatch.setattr(
+        pc, "fold_grid_c_comb", _fold_grid_c("fold_grid_c_comb")
+    )
     monkeypatch.setattr(pc, "msm_grid_pair", msm_grid_pair)
     monkeypatch.setattr(ck, "fetch_points", fetch_points)
     from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
@@ -193,10 +197,16 @@ def test_prover_grid_branches(fake_kernels, gens):
         # 2 grid rnds x (G, H) walks + 8 frozen-tail rounds
         assert fake_kernels["msm_grid_pair"] >= 12
         assert fake_kernels["msm_win"] == 0
-    # round 1 folds read the shared gens cache (no donation); round 2
-    # folds own their capacity arrays and fold in place
+    # round 1 folds read the shared gens cache (no donation); on the
+    # winmsm path round 1 transitions to the combined G|H layout (one
+    # in-place combined fold per later grid round), on the ladder path
+    # round 2+ folds donate their capacity arrays
     assert fake_kernels["fold_grid_c"] >= 2
-    assert fake_kernels["fold_grid_c_donate"] >= 2
+    if fake_kernels["winmsm"]:
+        assert fake_kernels["fold_grid_c_comb"] == 1
+        assert fake_kernels["fold_grid_c_donate"] == 0
+    else:
+        assert fake_kernels["fold_grid_c_donate"] >= 2
     assert fake_kernels["msm_chunk"] >= 9  # blindings + packed tail rnds
     assert fake_kernels["fold_chunk"] >= 0
 
