@@ -363,8 +363,8 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
     from bulletproofs_r1cs_gadgets_tpu import Prover, Transcript, Verifier
     from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
 
-    B = int(os.environ.get("BENCH_BATCH", 8))
-    waves = int(os.environ.get("BENCH_WAVES", 2 if B >= 8 else 1))
+    B = int(os.environ.get("BENCH_BATCH", 12))
+    waves = int(os.environ.get("BENCH_WAVES", max(1, B // 4)))
     pc_gens, bp_gens, comp, tape = (
         ctx["pc_gens"], ctx["bp_gens"], ctx["comp"], ctx["tape"]
     )

@@ -142,6 +142,51 @@ def signed_digit_words(arr: np.ndarray) -> np.ndarray:
     return _signed_recode(arr, np.uint64(0x8888888888888888))
 
 
+W3H_DIGITS = 44  # 3-bit signed digits covering |x| < 2^130 (half-width)
+
+
+def w3h_digit_words(x: int) -> np.ndarray:
+    """Signed int |x| < 2^130 -> (8,) int32 packed 3-bit signed digits
+    (one digit per NIBBLE, 44 digits): x = sum d_i * 8^i, d_i in [-4, 3],
+    nibble code d & 7 (0 -> identity; e >= 4 -> d = e - 8).  For the
+    half-width dual fold ladder ``pallas_curve._emit_fold_w3h``; digits
+    are per-CONSTANT (a fold has at most a few distinct scalars), so this
+    is plain python."""
+    assert abs(x) < 1 << 130
+    C = 4 * ((1 << (3 * W3H_DIGITS)) - 1) // 7  # 4 in every digit
+    t = x + C
+    assert 0 <= t < 1 << (3 * W3H_DIGITS)
+    w = np.zeros(8, np.int32)
+    buf = 0
+    for i in range(W3H_DIGITS):
+        code = ((t >> (3 * i)) & 7) ^ 4  # q - 4 == (q ^ 4) - ... exact:
+        # q in 0..7, d = q - 4 in -4..3, code = d & 7 = q ^ 4
+        buf |= code << (4 * i)
+    for j in range(8):
+        w[j] = np.int32((buf >> (32 * j)) & 0xFFFFFFFF)
+    return w
+
+
+def half_gcd_split(c: int, mod: int) -> tuple[int, int]:
+    """Signed (alpha, beta) with alpha == beta * c (mod `mod`) and
+    |alpha|, |beta| < 2^127 for a 253-bit modulus: the extended-GCD
+    midpoint (first remainder below 2^127 gives |t| <= mod / r_prev
+    < 2^126).  Lets a full-width fold constant run as a dual HALF-width
+    ladder (beta * L + alpha * R) with beta^-1 absorbed into the
+    host-tracked factor vectors."""
+    c %= mod
+    if c == 0:
+        return 0, 1
+    r0, r1 = mod, c
+    t0, t1 = 0, 1
+    while r1 >= 1 << 127:
+        q = r0 // r1
+        r0, r1 = r1, r0 - q * r1
+        t0, t1 = t1, t0 - q * t1
+    assert abs(t1) < 1 << 127 and (r1 - t1 * c) % mod == 0
+    return r1, t1
+
+
 def signed_digit2_words(arr: np.ndarray) -> np.ndarray:
     """(m, 4) u64 scalars -> (m, 8) int32 packed 2-bit signed digits
     d_i in [-2, 1], sum d_i * 4^i == scalar (encoding d & 3).  For the
@@ -386,6 +431,66 @@ def fold_big_c_comb(big: jnp.ndarray, h: int, bp: int, cG, cH) -> jnp.ndarray:
     assert 1 <= 2 * h <= GRID_CHUNKS // 2
     words = _c_fold_words_comb(cG[0], cG[1], cH[0], cH[1], bp, h)
     return pc.fold_grid_c_comb(big, words, _info(2 * h))
+
+
+# ------------------------------------------- half-width dual fold words
+def _rows_pack(w: np.ndarray, k: int) -> jnp.ndarray:
+    """(k*CHUNK, 8) int32 word rows -> capacity (8, SUB, GRID_LANES)."""
+    cat = jnp.asarray(
+        np.ascontiguousarray(
+            w.reshape(k, pc.SUB, pc.LAN_BLOCK, 8).transpose(3, 1, 0, 2)
+        ).reshape(8, pc.SUB, k * pc.LAN_BLOCK)
+    )
+    return _pad_to_capacity(cat) if k < GRID_CHUNKS else cat
+
+
+def _pw_w3h_rows(xA: int, xB: int, bp: int, n_rows: int) -> np.ndarray:
+    """(n_rows, 8) int32 half-width w3 digit rows: digits of xA below
+    point index bp, xB beyond."""
+    w = np.empty((n_rows, 8), np.int32)
+    j = min(max(bp, 0), n_rows)
+    w[:j] = w3h_digit_words(xA)
+    w[j:] = w3h_digit_words(xB)
+    return w
+
+
+def fold_big_w3h(big: jnp.ndarray, valid_out: int, bp: int,
+                 sA: tuple[int, int], sB: tuple[int, int]) -> jnp.ndarray:
+    """Separate-sides half-width fold: out[i] = beta_i*P[i] +
+    alpha_i*P[i+v] with (alpha, beta) = sA for point index i < bp else
+    sB (signed half-width ints from :func:`half_gcd_split`)."""
+    assert 1 <= valid_out <= GRID_CHUNKS // 2
+    wl = _rows_pack(
+        _pw_w3h_rows(sA[1], sB[1], bp, valid_out * CHUNK), valid_out
+    )
+    wr = _rows_pack(
+        _pw_w3h_rows(sA[0], sB[0], bp, valid_out * CHUNK), valid_out
+    )
+    return pc.fold_grid_w3h(big, wl, wr, _info(valid_out))
+
+
+def fold_big_w3h_comb(big: jnp.ndarray, h: int, bp: int,
+                      gA, gB, hA, hB) -> jnp.ndarray:
+    """Combined-layout half-width fold (donating): G' chunks [0, h) from
+    (alpha, beta) pairs gA/gB (piecewise at bp), H' chunks [h, 2h) from
+    hA/hB."""
+    assert 1 <= 2 * h <= GRID_CHUNKS // 2
+    lanes = h * CHUNK
+    wl = _rows_pack(
+        np.concatenate([
+            _pw_w3h_rows(gA[1], gB[1], bp, lanes),
+            _pw_w3h_rows(hA[1], hB[1], bp, lanes),
+        ]),
+        2 * h,
+    )
+    wr = _rows_pack(
+        np.concatenate([
+            _pw_w3h_rows(gA[0], gB[0], bp, lanes),
+            _pw_w3h_rows(hA[0], hB[0], bp, lanes),
+        ]),
+        2 * h,
+    )
+    return pc.fold_grid_w3h_comb(big, wl, wr, _info(2 * h))
 
 
 # ------------------------------------------------------- fused pair MSMs

@@ -60,6 +60,9 @@ CHUNK = ck.CHUNK
 # point-ops than the per-lane w4 ladder; BPTPU_WINMSM=0 falls back to the
 # ladder grid kernels (msm_grid_acc / msm_grid_pair)
 _WINMSM = os.environ.get("BPTPU_WINMSM", "1") != "0"
+# half-width dual-ladder generator folds (~230 point-ops/lane vs ~330);
+# BPTPU_W3H=0 falls back to the full-width w4 constant fold
+_W3H = os.environ.get("BPTPU_W3H", "1") != "0"
 
 
 def _as_array(scalars) -> np.ndarray:
@@ -562,7 +565,9 @@ class _IppJob:
         self.HF = _as_array(H_factors)
         meta = meta or {}
         self.bp = min(int(meta.get("n1", padded_n)), padded_n)
-        self.uphi = meta.get("u", Scalar.one())
+        # 2-piece factor structure: ratio rho per side (starts at the
+        # phase challenge u), breakpoint bp; evolves with half-width folds
+        self.rho_G = self.rho_H = meta.get("u", Scalar.one())
         self.y_inv = meta.get("y_inv", Scalar.one())
         self._a_nz = int(meta.get("n_real", padded_n))
         self.Qpt = Q
@@ -771,19 +776,62 @@ class _IppJob:
         self.b = scvec.axpby(b_L, u_inv, b_R, u)
         # fold constants: D'_i = D_i + c_i * D_{i+n} with c_i in {cA, cB}
         # split at rbp (G side: true fold u_inv*G'_L + u*G'_R; H side:
-        # u*H'_L + u_inv*H'_R with the geometric y^-m ratio)
+        # u*H'_L + u_inv*H'_R with the geometric y^-m ratio).  The
+        # piecewise factor ratio rho starts as the phase challenge u_phi
+        # and evolves when a half-width fold's beta pieces differ.
         powA, powB, rbp = _ratio_pieces(self.bp, n)
         one = Scalar.one()
-        rA = self.uphi if powA else one
-        rB = self.uphi if powB else one
         u2 = u * u
         hfac = u_inv * u_inv * Scalar(pow(self.y_inv.v, n, _L))
-        cG = (u2 * rA, u2 * rB)
-        cH = (hfac * rA, hfac * rB)
-        # factor vectors fold by one scalar; breakpoint survives clamped
-        self.GF = scvec.scale(self.GF[:n], u_inv)
-        self.HF = scvec.scale(self.HF[:n], u)
-        self.bp = min(self.bp, n)
+        cG = (
+            u2 * (self.rho_G if powA else one),
+            u2 * (self.rho_G if powB else one),
+        )
+        cH = (
+            hfac * (self.rho_H if powA else one),
+            hfac * (self.rho_H if powB else one),
+        )
+        # half-width splits apply on the grid fold paths (combined rounds
+        # and the round-1 transition); beta^-1 folds into the factor
+        # vectors, so the per-lane factor arrays stay exact
+        use_w3h = _W3H and self.fz is None and n >= CHUNK and (
+            self.C_big is not None
+            or (self.G_big is not None and _WINMSM and n >= 2 * CHUNK)
+        )
+        if use_w3h:
+            sGA = ck.half_gcd_split(cG[0].v, _L)
+            sGB = ck.half_gcd_split(cG[1].v, _L)
+            sHA = ck.half_gcd_split(cH[0].v, _L)
+            sHB = ck.half_gcd_split(cH[1].v, _L)
+            bGAi = Scalar(sGA[1] % _L).invert()
+            bGBi = Scalar(sGB[1] % _L).invert()
+            bHAi = Scalar(sHA[1] % _L).invert()
+            bHBi = Scalar(sHB[1] % _L).invert()
+            self.GF = scvec.mul(
+                self.GF[:n], _pw_rows(u_inv * bGAi, u_inv * bGBi, rbp, n)
+            )
+            self.HF = scvec.mul(
+                self.HF[:n], _pw_rows(u * bHAi, u * bHBi, rbp, n)
+            )
+            # ratio = beta_A / beta_B (beta inverses already computed)
+            ratio_G = Scalar(sGA[1] % _L) * bGBi
+            ratio_H = Scalar(sHA[1] % _L) * bHBi
+        else:
+            self.GF = scvec.scale(self.GF[:n], u_inv)
+            self.HF = scvec.scale(self.HF[:n], u)
+            ratio_G = ratio_H = one
+        # segment bookkeeping: F stays 2-piece with breakpoint bp and
+        # ratio rho; a fold multiplies piece A by beta_A^-1 and piece B by
+        # beta_B^-1 (1 when not splitting), so
+        #   bp <= n: bp' = bp,     rho' = rho * beta_A/beta_B
+        #   bp >  n: bp' = bp - n, rho' = beta_A/beta_B
+        if self.bp <= n:
+            self.rho_G = self.rho_G * ratio_G
+            self.rho_H = self.rho_H * ratio_H
+        else:
+            self.rho_G = ratio_G
+            self.rho_H = ratio_H
+            self.bp = self.bp - n
         if _TIMING:
             TIMER.add("ipp_host_folds", time.time() - t0)
             t0 = time.time()
@@ -810,7 +858,12 @@ class _IppJob:
             # combined fold: ONE dispatch halves both sides in place, then
             # one full-table prepass for the next round's walks
             k = n // CHUNK
-            self.C_big = ck.fold_big_c_comb(self.C_big, k, rbp, cG, cH)
+            if use_w3h:
+                self.C_big = ck.fold_big_w3h_comb(
+                    self.C_big, k, rbp, sGA, sGB, sHA, sHB
+                )
+            else:
+                self.C_big = ck.fold_big_c_comb(self.C_big, k, rbp, cG, cH)
             if k >= 2:
                 self.tC = ck.table_big(
                     self.C_big, 2 * k, half=False, old=self.tC
@@ -826,12 +879,16 @@ class _IppJob:
                 # round 1 -> combined layout: fold each side into a fresh
                 # capacity array, combine to [G'(k) | H'(k)], prepass ONE
                 # full-capacity table over both sides
-                gA = ck.fold_big_c(
-                    self.G_big, k, rbp, cG[0], cG[1], donate=False
-                )
-                gB = ck.fold_big_c(
-                    self.H_big, k, rbp, cH[0], cH[1], donate=False
-                )
+                if use_w3h:
+                    gA = ck.fold_big_w3h(self.G_big, k, rbp, sGA, sGB)
+                    gB = ck.fold_big_w3h(self.H_big, k, rbp, sHA, sHB)
+                else:
+                    gA = ck.fold_big_c(
+                        self.G_big, k, rbp, cG[0], cG[1], donate=False
+                    )
+                    gB = ck.fold_big_c(
+                        self.H_big, k, rbp, cH[0], cH[1], donate=False
+                    )
                 self.C_big = ck.combine_big(gA, gB, k)
                 self.G_big = self.H_big = None
                 self.tG = self.tH = None

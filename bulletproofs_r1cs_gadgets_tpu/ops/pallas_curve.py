@@ -521,6 +521,143 @@ fold_grid_c = jax.jit(_fold_c_call)
 fold_grid_c_donate = jax.jit(_fold_c_call, donate_argnums=(0,))
 
 
+# ----------------------------------------------- half-width dual w3 fold
+# A fold constant c is full-width (252-bit challenge product), but the
+# prover may fold by ANY invertible multiple: split c = alpha / beta
+# (mod L) with |alpha|, |beta| < 2^127 (chunks.half_gcd_split) and fold
+#   D' = beta * D_L + alpha * D_R   (= beta * (D_L + c * D_R)),
+# absorbing beta^-1 into the host factor vectors.  The dual ladder shares
+# its doubling chain: 44 w3 windows x (3 dbl + 2 table adds) + two
+# 4-entry tables ~ 230 point-ops/lane vs ~330 for the single full-width
+# w4 ladder.  Table VMEM footprint equals the proven single-w4 kernel's
+# (8 entries total), so it compiles at full 256-lane blocks.
+def _w3_digit_select(words_ref, pos, t1, t2, t3, t4, ident):
+    """3-bit signed digit at nibble `pos` (code d & 7, d in [-4, 3]) ->
+    d * P via lane selects over the 4-entry multiple table."""
+    word = words_ref[pos // 8]
+    e = (word >> (4 * (pos % 8))) & 7
+    neg = e >= 4
+    mag = jnp.where(neg, 8 - e, e)  # e=4 -> d=-4 -> mag 4
+    sel = ident
+    for k, ent in enumerate((t1, t2, t3, t4)):
+        sel = emit_point_select(mag == k + 1, ent, sel)
+    return emit_point_negate(sel, neg)
+
+
+def _emit_fold_w3h(left, right, wl_ref, wr_ref):
+    """Per-lane dual half-width ladder: wl * L + wr * R (44 signed w3
+    digits each, chunks.w3h_digit_words packing).  T-elided: per window
+    only the last doubling and the first add carry T."""
+    ident = _identity_point(left[0])
+    l2 = emit_point_double(left)
+    l3 = emit_point_add(l2, left)
+    l4 = emit_point_double(l2)
+    r2 = emit_point_double(right)
+    r3 = emit_point_add(r2, right)
+    r4 = emit_point_double(r2)
+
+    def _win(acc3, pos, last):
+        acc = emit_point_double(
+            emit_point_double_xyz(emit_point_double_xyz(acc3))
+        )
+        acc = emit_point_add(
+            acc, _w3_digit_select(wl_ref, pos, left, l2, l3, l4, ident)
+        )
+        selR = _w3_digit_select(wr_ref, pos, right, r2, r3, r4, ident)
+        return (emit_point_add(acc, selR) if last
+                else emit_point_add_xyz(acc, selR))
+
+    def body(j, acc3):
+        return _win(acc3, 43 - j, False)
+
+    acc3 = lax.fori_loop(0, 43, body, ident[:3], unroll=False)
+    return _win(acc3, 0, True)
+
+
+def _fold_w3h_kernel(info_ref, l_ref, r_ref, wl_ref, wr_ref, o_ref):
+    j = pl.program_id(0)
+    v = info_ref[0]
+
+    @pl.when(j < v)
+    def _step():
+        _store_point(
+            o_ref,
+            _emit_fold_w3h(
+                _load_point(l_ref), _load_point(r_ref), wl_ref, wr_ref
+            ),
+        )
+
+
+def _fold_w3h_call(big: jnp.ndarray, wl: jnp.ndarray, wr: jnp.ndarray,
+                   info: jnp.ndarray) -> jnp.ndarray:
+    """Separate-sides layout: out[j] = wl*P[j] + wr*P[j+v] for j < v."""
+    assert big.shape == (ROWS, SUB, GRID_LANES)
+    left_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
+    right_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1) + info[0]),
+    )
+    out_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
+    return pl.pallas_call(
+        _fold_w3h_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(GRID_CHUNKS // 2,),
+            in_specs=[left_spec, right_spec, _grid_wspec(), _grid_wspec()],
+            out_specs=out_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, GRID_LANES), jnp.int32),
+    )(info, big, big, wl, wr)
+
+
+fold_grid_w3h = jax.jit(_fold_w3h_call)
+
+
+def _fold_w3h_comb_call(big: jnp.ndarray, wl: jnp.ndarray, wr: jnp.ndarray,
+                        info: jnp.ndarray) -> jnp.ndarray:
+    """Combined G|H layout (see fold_grid_c_comb index maps)."""
+    assert big.shape == (ROWS, SUB, GRID_LANES)
+
+    def _lmap(j, info):
+        h = info[0] // 2
+        jj = jnp.minimum(j, info[0] - 1)
+        return (0, 0, jnp.where(jj < h, jj, jj + h))
+
+    def _rmap(j, info):
+        h = info[0] // 2
+        jj = jnp.minimum(j, info[0] - 1)
+        return (0, 0, jnp.where(jj < h, jj, jj + h) + h)
+
+    out_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK),
+        lambda j, info: (0, 0, jnp.minimum(j, info[0] - 1)),
+    )
+    return pl.pallas_call(
+        _fold_w3h_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(GRID_CHUNKS // 2,),
+            in_specs=[
+                pl.BlockSpec((ROWS, SUB, LAN_BLOCK), _lmap),
+                pl.BlockSpec((ROWS, SUB, LAN_BLOCK), _rmap),
+                _grid_wspec(),
+                _grid_wspec(),
+            ],
+            out_specs=out_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, GRID_LANES), jnp.int32),
+    )(info, big, big, wl, wr)
+
+
+fold_grid_w3h_comb = jax.jit(_fold_w3h_comb_call, donate_argnums=(0,))
+
+
 # ------------------------------------------------- combined-layout fold
 # With BOTH generator vectors in ONE capacity array (G chunks [0, k), H
 # chunks [k, 2k)), a single dispatch folds both sides: out chunks [0, h)
@@ -767,14 +904,50 @@ def _table_body(p):
     return (p, t2, t3, t4, t5, t6, t7, t8)
 
 
+def _to_niels(q):
+    """Extended -> precomputed "niels" form (Y+X, Y-X, 2d*T, Z): the
+    mixed add against a niels entry needs no 2d constant-mul and no
+    operand sums — one fewer reduce pass per table add.  Y+X / Y-X stay
+    UNREDUCED (rows <= 2*(2^11+8), safely inside the validated conv
+    bound); negation is (swap first two, negate 2dT)."""
+    X, Y, Z, T = q
+    return (
+        Y + X,
+        Y - X,
+        pf.emit_mul_const(T, _D2_ROWS, "fp"),
+        Z,
+    )
+
+
+def emit_point_add_niels(p, q):
+    """p (extended, needs T) + q (niels form) -> extended (8 muls, no
+    constant-mul)."""
+    X1, Y1, Z1, T1 = p
+    A = pf.emit_mul(Y1 - X1, q[1], "fp")
+    B = pf.emit_mul(Y1 + X1, q[0], "fp")
+    C = pf.emit_mul(T1, q[2], "fp")
+    Dv = pf.emit_reduce(pf.emit_scale_const(pf.emit_conv(Z1, q[3]), 2), "fp")
+    E = B - A
+    F = Dv - C
+    G = Dv + C
+    H = B + A
+    return (
+        pf.emit_mul(E, F, "fp"),
+        pf.emit_mul(G, H, "fp"),
+        pf.emit_mul(F, G, "fp"),
+        pf.emit_mul(E, H, "fp"),
+    )
+
+
 def _table_kernel(info_ref, p_ref, o_ref):
     for e, q in enumerate(_table_body(_load_point(p_ref))):
+        nq = _to_niels(q)
         for c in range(4):
             o_ref[
                 c * STORE : (c + 1) * STORE,
                 :,
                 e * LAN_BLOCK : (e + 1) * LAN_BLOCK,
-            ] = q[c]
+            ] = nq[c]
 
 
 def _table_call(points: jnp.ndarray, info: jnp.ndarray, v,
@@ -801,6 +974,11 @@ def _table_call(points: jnp.ndarray, info: jnp.ndarray, v,
         out_shape=jax.ShapeDtypeStruct(
             (ROWS, SUB, TBL * tc * LAN_BLOCK), jnp.int32
         ),
+        compiler_params=pltpu.CompilerParams(
+            # the niels transform's temporaries push the default 16 MB
+            # scoped-vmem cap by ~1 MB; v5e has headroom (see msm_win)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(info, points)
 
 
@@ -821,14 +999,23 @@ table_grid_full_donate = jax.jit(
 )
 
 
-def _win_digit_select(w_ref, window, t_ref, ident):
-    """Signed-nibble digit `window` (traced) -> d * P via lane selects over
-    the streamed table block (entry e at lane block e)."""
+def _identity_niels(template):
+    """Identity in niels form: (Y+X, Y-X, 2dT, Z) = (1, 1, 0, 1)."""
+    zero = jnp.zeros_like(template)
+    row0 = lax.broadcasted_iota(jnp.int32, template.shape, 0) == 0
+    one0 = jnp.where(row0, jnp.int32(1), jnp.int32(0))
+    return (one0, one0, zero, one0)
+
+
+def _win_digit_select(w_ref, window, t_ref, ident_n):
+    """Signed-nibble digit `window` (traced) -> d * P in NIELS form via
+    lane selects over the streamed table block (entry e at lane block e);
+    negation swaps Y+X / Y-X and negates 2dT."""
     word = w_ref[window // 8]  # (SUB, LAN) dynamic sublane read
     e = (word >> (4 * (window % 8))) & 15
     neg = e >= 8
     mag = jnp.where(neg, 16 - e, e)
-    sel = ident
+    sel = ident_n
     for k in range(1, 9):
         ent = tuple(
             t_ref[
@@ -839,7 +1026,13 @@ def _win_digit_select(w_ref, window, t_ref, ident):
             for c in range(4)
         )
         sel = emit_point_select(mag == k, ent, sel)
-    return emit_point_negate(sel, neg)
+    m = neg[None]
+    return (
+        jnp.where(m, sel[1], sel[0]),
+        jnp.where(m, sel[0], sel[1]),
+        jnp.where(m, -sel[2], sel[2]),
+        sel[3],
+    )
 
 
 def _msm_win_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref, wacc, horner):
@@ -847,19 +1040,20 @@ def _msm_win_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref, wacc, horner):
     j = pl.program_id(1)
     v = info_ref[0]
     window = 63 - w  # Horner consumes digits MSB-first
-    ident = _identity_point(jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32))
+    zeros = jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32)
+    ident_n = _identity_niels(zeros)
 
     @pl.when(j < v)
     def _step():
-        sel = _win_digit_select(w_ref, window, t_ref, ident)
+        sel = _win_digit_select(w_ref, window, t_ref, ident_n)
 
         @pl.when(j == 0)
         def _init():
-            _store_point(wacc, sel)
+            _store_point(wacc, _identity_point(zeros))
 
-        @pl.when(j > 0)
-        def _acc():
-            _store_point(wacc, emit_point_add(_load_point(wacc), sel))
+        _store_point(
+            wacc, emit_point_add_niels(_load_point(wacc), sel)
+        )
 
     @pl.when(j == v - 1)
     def _boundary():

@@ -36,10 +36,16 @@ def _rand_points(rng, n):
 
 def _sim_device_ipp(
     transcript, Q, G, H, GF_list, HF_list, a_list, b_list,
-    n1, u_phi, y_inv, freeze_side,
+    n1, u_phi, y_inv, freeze_side, halfwidth=False,
 ):
     """Host-point mirror of ``_IppJob``: factor-tracked walks and constant
-    folds, entering frozen-tail mode once both sides fit ``freeze_side``."""
+    folds, entering frozen-tail mode once both sides fit ``freeze_side``.
+    With ``halfwidth`` the non-frozen folds split each constant via
+    half_gcd_split and fold D' = beta*D_L + alpha*D_R, absorbing beta^-1
+    into the factor vectors (the rho/bp bookkeeping under test)."""
+    from bulletproofs_r1cs_gadgets_tpu.ops.chunks import half_gcd_split
+    from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import _pw_rows
+
     n = len(G)
     transcript.innerproduct_domain_sep(n)
     D_G, D_H = list(G), list(H)
@@ -48,6 +54,7 @@ def _sim_device_ipp(
     aa = scvec.from_scalars(a_list)
     bb = scvec.from_scalars(b_list)
     bp = min(n1, n)
+    rho_G = rho_H = u_phi
     one = Scalar.one()
     fz_pts = None
     FFG = FFH = None
@@ -93,19 +100,49 @@ def _sim_device_ipp(
         aa = scvec.axpby(a_L, u, a_R, u_inv)
         bb = scvec.axpby(b_L, u_inv, b_R, u)
         powA, powB, rbp = _ratio_pieces(bp, n)
-        rA = u_phi if powA else one
-        rB = u_phi if powB else one
         u2 = u * u
         hfac = u_inv * u_inv * Scalar(pow(y_inv.v, n, LMOD))
-        cG = (u2 * rA, u2 * rB)
-        cH = (hfac * rA, hfac * rB)
-        GFa = scvec.scale(GFa[:n], u_inv)
-        HFa = scvec.scale(HFa[:n], u)
-        bp = min(bp, n)
+        cG = (
+            u2 * (rho_G if powA else one),
+            u2 * (rho_G if powB else one),
+        )
+        cH = (
+            hfac * (rho_H if powA else one),
+            hfac * (rho_H if powB else one),
+        )
+        freezing = fz_pts is None and 2 * n <= freeze_side
+        use_hw = halfwidth and fz_pts is None and not freezing
+        if use_hw:
+            sGA = half_gcd_split(cG[0].v, LMOD)
+            sGB = half_gcd_split(cG[1].v, LMOD)
+            sHA = half_gcd_split(cH[0].v, LMOD)
+            sHB = half_gcd_split(cH[1].v, LMOD)
+            bGAi = Scalar(sGA[1] % LMOD).invert()
+            bGBi = Scalar(sGB[1] % LMOD).invert()
+            bHAi = Scalar(sHA[1] % LMOD).invert()
+            bHBi = Scalar(sHB[1] % LMOD).invert()
+            GFa = scvec.mul(
+                GFa[:n], _pw_rows(u_inv * bGAi, u_inv * bGBi, rbp, n)
+            )
+            HFa = scvec.mul(
+                HFa[:n], _pw_rows(u * bHAi, u * bHBi, rbp, n)
+            )
+            ratio_G = Scalar(sGA[1] % LMOD) * bGBi
+            ratio_H = Scalar(sHA[1] % LMOD) * bHBi
+        else:
+            GFa = scvec.scale(GFa[:n], u_inv)
+            HFa = scvec.scale(HFa[:n], u)
+            ratio_G = ratio_H = one
+        if bp <= n:
+            rho_G = rho_G * ratio_G
+            rho_H = rho_H * ratio_H
+        else:
+            rho_G, rho_H = ratio_G, ratio_H
+            bp = bp - n
         if fz_pts is not None:
             FFG = frozen_fold_update(FFG, n, rbp, cG[0], cG[1])
             FFH = frozen_fold_update(FFH, n, rbp, cH[0], cH[1])
-        elif 2 * n <= freeze_side:
+        elif freezing:
             # transition freeze: pin the size-2n vectors, absorb THIS
             # round's fold into fresh factor vectors
             S = 2 * n
@@ -115,6 +152,25 @@ def _sim_device_ipp(
             ).astype(np.uint64)
             FFG = frozen_fold_update(ones.copy(), n, rbp, cG[0], cG[1])
             FFH = frozen_fold_update(ones.copy(), n, rbp, cH[0], cH[1])
+        elif use_hw:
+            D_G = [
+                D_G[i].scalar_mul(
+                    Scalar((sGA if i < rbp else sGB)[1] % LMOD)
+                )
+                + D_G[i + n].scalar_mul(
+                    Scalar((sGA if i < rbp else sGB)[0] % LMOD)
+                )
+                for i in range(n)
+            ]
+            D_H = [
+                D_H[i].scalar_mul(
+                    Scalar((sHA if i < rbp else sHB)[1] % LMOD)
+                )
+                + D_H[i + n].scalar_mul(
+                    Scalar((sHA if i < rbp else sHB)[0] % LMOD)
+                )
+                for i in range(n)
+            ]
         else:
             D_G = [
                 D_G[i] + D_G[i + n].scalar_mul(cG[0] if i < rbp else cG[1])
@@ -129,7 +185,7 @@ def _sim_device_ipp(
     )
 
 
-def _reference_and_sim(padded_n, n1, freeze_side, seed):
+def _reference_and_sim(padded_n, n1, freeze_side, seed, halfwidth=False):
     import random
 
     rng = random.Random(seed)
@@ -150,7 +206,7 @@ def _reference_and_sim(padded_n, n1, freeze_side, seed):
     )
     sim = _sim_device_ipp(
         Transcript(b"FrozenTailTest"), Q, G, H, GF, HF, a, b,
-        n1, u_phi, y_inv, freeze_side,
+        n1, u_phi, y_inv, freeze_side, halfwidth=halfwidth,
     )
     return ref, sim
 
@@ -178,4 +234,21 @@ def test_frozen_tail_breakpoint_straddles_rounds():
     """n1 NOT a power-of-two multiple: the piecewise fold breakpoint stays
     inside the frozen region for several rounds."""
     ref, sim = _reference_and_sim(64, 5, 32, seed=3)
+    _assert_equal(ref, sim)
+
+
+def test_halfwidth_folds_match_host_ipp():
+    """Half-width beta-folds (all non-frozen rounds): beta^-1 absorbed
+    into the factor vectors, rho/bp bookkeeping evolving — L/R bytes must
+    equal the host IPP's.  n1=48 > m exercises the bp > n migration."""
+    ref, sim = _reference_and_sim(64, 48, 0, seed=4, halfwidth=True)
+    _assert_equal(ref, sim)
+
+
+def test_halfwidth_folds_then_freeze():
+    """Half-width folds composing with a late transition freeze: the
+    frozen factor updates must pick up the evolved rho pieces."""
+    ref, sim = _reference_and_sim(64, 23, 8, seed=5, halfwidth=True)
+    _assert_equal(ref, sim)
+    ref, sim = _reference_and_sim(128, 96, 16, seed=6, halfwidth=True)
     _assert_equal(ref, sim)

@@ -80,6 +80,27 @@ def test_emit_group_ops_match_host():
     assert all(g == p.double() for g, p in zip(got, ps))
 
 
+def test_emit_add_niels_matches_host():
+    """Niels-form mixed add (the window walker's streamed-table add):
+    p + to_niels(q) == p + q, and the select-style negation
+    (swap, -2dT) yields p - q."""
+    ps, qs = _rand_points(N), _rand_points(N)
+    dp, dq = _to_stacked(ps), _to_stacked(qs)
+    fn = jax.jit(lambda a, b: pc.emit_point_add_niels(a, pc._to_niels(b)))
+    got = _from_stacked(fn(dp, dq))
+    assert all(g == p + q for g, p, q in zip(got, ps, qs))
+
+    def neg_add(a, b):
+        n = pc._to_niels(b)
+        return pc.emit_point_add_niels(a, (n[1], n[0], -n[2], n[3]))
+
+    got = _from_stacked(jax.jit(neg_add)(dp, dq))
+    neg_one = Scalar(L - 1)
+    assert all(
+        g == p + q.scalar_mul(neg_one) for g, p, q in zip(got, ps, qs)
+    )
+
+
 @pytest.mark.slow
 def test_ladder_w4_per_lane():
     """_ladder_w4 (no reduce): lane i ends at scalar_i * P_i."""
@@ -130,6 +151,32 @@ def test_fold_c_body_per_lane():
         got = _from_stacked(fn(_to_stacked(ls), _to_stacked(rs), words))
         exp = [l + r.scalar_mul(c) for l, r, c in zip(ls, rs, cs)]
         assert got == exp, bp
+
+
+@pytest.mark.slow
+def test_emit_fold_w3h_per_lane():
+    """_emit_fold_w3h: lane i ends at wl_i * L_i + wr_i * R_i for SIGNED
+    half-width scalars (44 w3 digits) — the half-width dual fold behind
+    fold_grid_w3h(_comb)."""
+    ls, rs = _rand_points(N), _rand_points(N)
+    xs = [rnd.randrange(-(1 << 126), 1 << 126) for _ in range(N)]
+    ys = [rnd.randrange(-(1 << 126), 1 << 126) for _ in range(N)]
+    xs[0], ys[0] = 0, 0
+    xs[1], ys[1] = 1, -1
+
+    def _w3words(vals):
+        w = np.stack([ck.w3h_digit_words(v) for v in vals])  # (N, 8)
+        return jnp.asarray(np.ascontiguousarray(w.T).reshape(8, pc.SUB, LAN))
+
+    fn = jax.jit(pc._emit_fold_w3h)
+    got = _from_stacked(
+        fn(_to_stacked(ls), _to_stacked(rs), _w3words(xs), _w3words(ys))
+    )
+    exp = [
+        l.scalar_mul(Scalar(x % L)) + r.scalar_mul(Scalar(y % L))
+        for l, r, x, y in zip(ls, rs, xs, ys)
+    ]
+    assert all(g == e for g, e in zip(got, exp))
 
 
 def test_c_fold_words_layout():

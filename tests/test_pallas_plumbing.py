@@ -50,7 +50,7 @@ def fake_kernels(monkeypatch, request):
     calls = {
         "msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0,
         "fold_grid_c": 0, "fold_grid_c_donate": 0, "fold_grid_c_comb": 0,
-        "msm_grid_pair": 0,
+        "fold_grid_w3h": 0, "fold_grid_w3h_comb": 0, "msm_grid_pair": 0,
         "table_big": 0, "msm_win": 0, "winmsm": request.param,
     }
 
@@ -147,6 +147,21 @@ def fake_kernels(monkeypatch, request):
     monkeypatch.setattr(
         pc, "fold_grid_c_comb", _fold_grid_c("fold_grid_c_comb")
     )
+
+    def _fold_w3h(name):
+        def fake(left_right, wl, wr, info):
+            calls[name] += 1
+            assert left_right.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+            assert wl.shape == wr.shape == (8, pc.SUB, pc.GRID_LANES)
+            assert 1 <= int(info[0]) <= pc.GRID_CHUNKS // 2
+            return left_right
+
+        return fake
+
+    monkeypatch.setattr(pc, "fold_grid_w3h", _fold_w3h("fold_grid_w3h"))
+    monkeypatch.setattr(
+        pc, "fold_grid_w3h_comb", _fold_w3h("fold_grid_w3h_comb")
+    )
     monkeypatch.setattr(pc, "msm_grid_pair", msm_grid_pair)
     monkeypatch.setattr(ck, "fetch_points", fetch_points)
     from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
@@ -197,15 +212,17 @@ def test_prover_grid_branches(fake_kernels, gens):
         # 2 grid rnds x (G, H) walks + 8 frozen-tail rounds
         assert fake_kernels["msm_grid_pair"] >= 12
         assert fake_kernels["msm_win"] == 0
-    # round 1 folds read the shared gens cache (no donation); on the
-    # winmsm path round 1 transitions to the combined G|H layout (one
-    # in-place combined fold per later grid round), on the ladder path
-    # round 2+ folds donate their capacity arrays
-    assert fake_kernels["fold_grid_c"] >= 2
+    # winmsm: round 1 transitions to the combined G|H layout with
+    # half-width dual-ladder folds (2 separate-sides + 1 combined); the
+    # ladder path keeps full-width folds (round 1 shared-cache, round 2+
+    # donated in place)
     if fake_kernels["winmsm"]:
-        assert fake_kernels["fold_grid_c_comb"] == 1
+        assert fake_kernels["fold_grid_w3h"] == 2
+        assert fake_kernels["fold_grid_w3h_comb"] == 1
+        assert fake_kernels["fold_grid_c"] == 0
         assert fake_kernels["fold_grid_c_donate"] == 0
     else:
+        assert fake_kernels["fold_grid_c"] >= 2
         assert fake_kernels["fold_grid_c_donate"] >= 2
     assert fake_kernels["msm_chunk"] >= 9  # blindings + packed tail rnds
     assert fake_kernels["fold_chunk"] >= 0
