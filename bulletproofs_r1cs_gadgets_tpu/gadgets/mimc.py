@@ -11,7 +11,9 @@ from ..core.scalar import Scalar
 from ..core.linear_combination import LinearCombination, Variable, _coerce
 from .r1cs_utils import AllocatedScalar, constrain_lc_with_scalar
 
-MIMC_ROUNDS = 322
+from ..utils.config import DEFAULT_CONFIG
+
+MIMC_ROUNDS = DEFAULT_CONFIG.mimc.rounds  # 322, gadget_mimc.rs:15
 
 
 def mimc(xl: Scalar, xr: Scalar, constants: list[Scalar]) -> Scalar:

@@ -26,8 +26,10 @@ from .r1cs_utils import AllocatedScalar, constrain_lc_with_scalar
 from .zero_nonzero import is_nonzero_gadget
 from .poseidon_params import PoseidonParams
 
-PADDING_CONST = 101
-ZERO_CONST = 0
+from ..utils.config import DEFAULT_CONFIG
+
+PADDING_CONST = DEFAULT_CONFIG.poseidon.padding_const  # gadget_poseidon.rs:425
+ZERO_CONST = DEFAULT_CONFIG.poseidon.zero_const  # gadget_poseidon.rs:426
 
 try:
     from ..native import _native as _NATIVE

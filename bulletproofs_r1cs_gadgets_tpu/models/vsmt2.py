@@ -11,9 +11,10 @@ the index bits (the prover commits them, :305-314).  We close that gap by
 default (``constrain_index_bits=True``) while allowing exact reference parity
 with ``constrain_index_bits=False``.
 
-The host tree's bulk operations (``new`` builds 253 empty-subtree hashes,
-``update`` hashes 253 levels) run through the batched TPU Poseidon kernel
-when a device batch is worthwhile; single hashes stay on host.
+The host tree runs on the host Poseidon (each ``update`` is a strictly
+sequential 253-level hash chain — no batch to exploit); the batched TPU
+Poseidon kernel (:class:`..ops.poseidon.DevicePoseidon`) serves the
+demo pipeline and bulk witness hashing, not this tree.
 """
 
 from __future__ import annotations
@@ -29,7 +30,9 @@ from ..gadgets.poseidon import (
     SboxType,
 )
 
-TREE_DEPTH = 253
+from ..utils.config import DEFAULT_CONFIG
+
+TREE_DEPTH = DEFAULT_CONFIG.trees.vsmt2_depth  # gadget_vsmt_2.rs:23
 
 
 class VanillaSparseMerkleTree:
@@ -150,7 +153,7 @@ def vanilla_merkle_tree_verif_gadget(
     proof_nodes: list[AllocatedScalar],
     statics: list[AllocatedScalar],
     poseidon_params: PoseidonParams,
-    constrain_index_bits: bool = True,
+    constrain_index_bits: bool = DEFAULT_CONFIG.trees.constrain_index_bits,
 ) -> None:
     """Membership circuit (``gadget_vsmt_2.rs:171-209``).
 

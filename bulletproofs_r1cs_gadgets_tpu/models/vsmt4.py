@@ -21,7 +21,9 @@ from ..gadgets.poseidon import (
     SboxType,
 )
 
-TREE_DEPTH_4 = 128
+from ..utils.config import DEFAULT_CONFIG
+
+TREE_DEPTH_4 = DEFAULT_CONFIG.trees.vsmt4_depth  # gadget_vsmt_4.rs:25
 LEAF_INDEX_BYTES = TREE_DEPTH_4 // 4
 
 

@@ -41,7 +41,9 @@ from .curve import (
 )
 from .msm import msm_device, MsmEngine
 
-MIN_DEVICE_N = 512
+from ..utils.config import DEFAULT_CONFIG
+
+MIN_DEVICE_N = DEFAULT_CONFIG.engine.min_device_n
 
 
 def _bits_arr(x: int, nbits: int = 253) -> np.ndarray:

@@ -53,7 +53,9 @@ from ..core.ipp import InnerProductProof, _skip_domain_sep
 from ..utils.constants import L as _L
 from . import chunks as ck
 
-MIN_DEVICE_N = 64
+from ..utils.config import DEFAULT_CONFIG
+
+MIN_DEVICE_N = DEFAULT_CONFIG.engine.pallas_min_device_n
 CHUNK = ck.CHUNK
 
 # window-accumulator MSM walker (pallas_curve.msm_win_*): ~4x fewer

@@ -39,11 +39,18 @@ class TreeConfig:
 
 @dataclass(frozen=True)
 class EngineConfig:
-    """Proof-engine + device-backend knobs."""
+    """Proof-engine + device-backend knobs.
+
+    The two thresholds are the measured host/device crossover points of
+    the respective backends (PERF_NOTES.md): the XLA-composed oracle
+    backend pays per-op dispatch so it needs larger vectors to win; the
+    fixed-shape Pallas chunk layer amortises dispatch and wins earlier.
+    """
 
     gens_capacity: int = 819200  # reference's largest (gadget_vsmt_2.rs:290)
     party_capacity: int = 1  # all 14 reference call sites use 1
-    min_device_n: int = 1024  # below this the host path wins
+    min_device_n: int = 512  # XLA oracle backend host/device crossover
+    pallas_min_device_n: int = 64  # Pallas chunk-layer crossover
     use_pallas: bool = True
 
 

@@ -36,6 +36,12 @@ def pytest_addoption(parser):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: full-scale circuit test")
+    config.addinivalue_line(
+        "markers",
+        "mesh_slow: multi-minute shard_map-compile test on the CPU mesh "
+        "(covered by the driver's dryrun_multichip gate; run explicitly "
+        "with --run-slow)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
@@ -43,5 +49,5 @@ def pytest_collection_modifyitems(config, items):
         return
     skip_slow = pytest.mark.skip(reason="needs --run-slow")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords or "mesh_slow" in item.keywords:
             item.add_marker(skip_slow)

@@ -56,6 +56,7 @@ def test_sharded_msm_matches_host(backend):
     assert got == multiscalar_mul(scalars, pts)
 
 
+@pytest.mark.mesh_slow
 def test_sharded_bound_check_roundtrip(backend):
     """Full prove -> verify of the 64-bit bound-check gadget (128
     multipliers) with every MSM sharded across 8 devices."""
@@ -71,6 +72,7 @@ def test_sharded_bound_check_roundtrip(backend):
     )
 
 
+@pytest.mark.mesh_slow
 def test_sharded_prover_host_verifier(backend):
     """Proof produced with the sharded backend must verify on the plain
     host path (byte-level Fiat-Shamir equivalence of the backends)."""
@@ -119,6 +121,7 @@ def _bc_build(lower, upper, bits):
     return build
 
 
+@pytest.mark.mesh_slow
 def test_batch_dp_sharded_proving(mesh):
     """B=4 same-shape proofs in SPMD lockstep over a (batch=4, points=2)
     mesh (BatchShardedBackend): one batched shard_map dispatch series per
