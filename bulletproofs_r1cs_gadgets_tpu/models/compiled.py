@@ -63,6 +63,13 @@ M_NODE_B = _MARK + 4
 M_XL = _MARK + 5
 M_XR = _MARK + 6
 M_STATIC = _MARK + 16  # + j
+# VSMT-4 sibling markers (segment A / segment B instances)
+M_N1_A = _MARK + 32
+M_N2_A = _MARK + 33
+M_N3_A = _MARK + 34
+M_N1_B = _MARK + 35
+M_N2_B = _MARK + 36
+M_N3_B = _MARK + 37
 
 
 class _RecordingCS:
@@ -145,7 +152,13 @@ def _collect_terms(constraints, c_lo: int, c_hi: int):
                 add("1", c - c_lo, 0, coeff.v)
             else:  # committed marker
                 idx = var.index
-                if idx >= M_STATIC:
+                if idx in (M_N1_A, M_N1_B):
+                    add("N1", c - c_lo, 0, coeff.v)
+                elif idx in (M_N2_A, M_N2_B):
+                    add("N2", c - c_lo, 0, coeff.v)
+                elif idx in (M_N3_A, M_N3_B):
+                    add("N3", c - c_lo, 0, coeff.v)
+                elif idx >= M_STATIC:
                     add("S", c - c_lo, idx - M_STATIC, coeff.v)
                 elif idx in (M_BIT_A, M_BIT_B):
                     add("BIT", c - c_lo, 0, coeff.v)
@@ -624,3 +637,335 @@ class CompiledPoseidon2:
         assert len(aL) == self.num_multipliers
         self._hash = scvec.row_to_scalar(out_state[1])
         return aL, aR, aO
+
+
+_VSMT4_TEMPLATE_CACHE: dict = {}
+
+
+def _vsmt4_templates(params: PoseidonParams):
+    from .vsmt4 import vsmt4_digit_gadget
+
+    key = (
+        params.width,
+        params.full_rounds_beginning,
+        params.partial_rounds,
+        params.full_rounds_end,
+    )
+    hit = _VSMT4_TEMPLATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rec = _RecordingCS()
+    statics_lcs = [
+        Variable.committed(M_STATIC + j).lc() for j in range(2)
+    ]
+    out_a, b0a, b1a = vsmt4_digit_gadget(
+        rec,
+        Variable.committed(M_LEAF).lc(),
+        None,
+        Variable.committed(M_N1_A).lc(),
+        Variable.committed(M_N2_A).lc(),
+        Variable.committed(M_N3_A).lc(),
+        statics_lcs,
+        params,
+    )
+    n_a, c_a = rec.num_vars, len(rec.constraints)
+    # the leaf-index recomposition reads each level's bit wires at fixed
+    # local offsets — pin them
+    assert (b0a.kind, b0a.index) == (VarKind.MULT_LEFT, 0)
+    assert (b1a.kind, b1a.index) == (VarKind.MULT_LEFT, 1)
+    out_b, _, _ = vsmt4_digit_gadget(
+        rec,
+        out_a,
+        None,
+        Variable.committed(M_N1_B).lc(),
+        Variable.committed(M_N2_B).lc(),
+        Variable.committed(M_N3_B).lc(),
+        statics_lcs,
+        params,
+    )
+    n_b, c_b = rec.num_vars - n_a, len(rec.constraints) - c_a
+    assert n_a == n_b and c_a == c_b, "digit levels are not isomorphic"
+    tpl = {
+        "npl": n_a,
+        "cpl": c_a,
+        "seg_a": _collect_terms(rec.constraints, 0, c_a),
+        "seg_b": _collect_terms(rec.constraints, c_a, 2 * c_a),
+        "out_a": _lc_terms(out_a),
+        "out_b": _lc_terms(out_b),
+    }
+    _VSMT4_TEMPLATE_CACHE[key] = tpl
+    return tpl
+
+
+class CompiledVSMT4:
+    """Compile-once VSMT-4 membership circuit (BASELINE config 4;
+    ``gadget_vsmt_4.rs:199-312``): ``depth`` base-4 digit levels of
+    2 booleanity-constrained bit multipliers + 4 bit-products + 9 child
+    placements + a Poseidon-4:1 hash (inverse S-box), then the leaf-index
+    recomposition constraint and the root constraint.
+
+    Commitment layout (the reference test's order,
+    ``gadget_vsmt_4.rs:339-395`` / ``tests/test_trees.py``): leaf (0),
+    leaf_index (1), then the merkle proof flattened root-level-first with
+    each level's 3 siblings in child order, then 2 statics.
+    """
+
+    def __init__(self, params: PoseidonParams, depth: int):
+        assert depth >= 1 and depth % 4 == 0
+        self.params = params
+        self.depth = depth
+        tpl = _vsmt4_templates(params)
+        self.npl = tpl["npl"]
+        self.cpl = tpl["cpl"]
+        self._tpl = tpl
+        self.num_multipliers = depth * self.npl
+        # + leaf-index recomposition + root constraint
+        self.num_constraints = depth * self.cpl + 2
+        w = params.width
+        self.nsbox = (
+            params.full_rounds_beginning + params.full_rounds_end
+        ) * w + params.partial_rounds
+        self.leaf_vidx = 0
+        self.idx_vidx = 1
+        self.nodes_vbase = 2
+        self.statics_vbase = 2 + 3 * depth
+        self.num_commitments = 3 * depth + 4
+
+    @staticmethod
+    def digit_bits(idx: Scalar, depth: int) -> list[tuple[int, int]]:
+        """Per-level (bit0, bit1) pairs, leaf level first — exactly the
+        gadget's byte/bit extraction (``gadget_vsmt_4.rs:226-233``)."""
+        out = []
+        for i in range(depth // 4):
+            byte = idx.byte(i)
+            for j in range(4):
+                out.append(((byte >> (2 * j)) & 1, (byte >> (2 * j + 1)) & 1))
+        return out
+
+    def _node_vidx(self, level: int) -> int:
+        """Committed index of sibling N1 at digit `level` (leaf level 0):
+        the gadget pops from the tail of the root-first flattened list."""
+        return self.nodes_vbase + 3 * (self.depth - 1 - level)
+
+    # ------------------------------------------------------------------ tape
+    def tape(self, root: Scalar) -> TapeArrays:
+        depth, npl, cpl = self.depth, self.npl, self.cpl
+        tpl = self._tpl
+        parts: dict = {k: [] for k in ("L", "R", "O", "V", "1")}
+
+        def emit(cat_terms, c_off, w_off, vmap):
+            for cat, (cidx, widx, coeff) in cat_terms.items():
+                if cat in ("L", "R", "O"):
+                    parts[cat].append((cidx + c_off, widx + w_off, coeff))
+                elif cat == "1":
+                    parts["1"].append((cidx + c_off, widx, coeff))
+                elif cat == "S":
+                    parts["V"].append(
+                        (cidx + c_off, widx + self.statics_vbase, coeff)
+                    )
+                else:
+                    parts["V"].append(
+                        (
+                            cidx + c_off,
+                            np.full(len(cidx), vmap[cat], dtype=np.int64),
+                            coeff,
+                        )
+                    )
+
+        # level 0 (segment A; leaf input)
+        emit(
+            tpl["seg_a"], 0, 0,
+            {
+                "LEAF": self.leaf_vidx,
+                "N1": self._node_vidx(0),
+                "N2": self._node_vidx(0) + 1,
+                "N3": self._node_vidx(0) + 2,
+            },
+        )
+        # levels 1..depth-1: segment B stamped with vectorized offsets
+        if depth > 1:
+            levels = np.arange(1, depth, dtype=np.int64)
+            nvidx = self.nodes_vbase + 3 * (depth - 1 - levels)
+            for cat, (cidx, widx, coeff) in tpl["seg_b"].items():
+                m = len(cidx)
+                if m == 0:
+                    continue
+                c_full = (
+                    (levels - 1)[:, None] * cpl + cpl + cidx[None, :]
+                ).reshape(-1)
+                coeff_full = np.tile(coeff, (depth - 1, 1))
+                if cat in ("L", "R", "O"):
+                    w_full = (
+                        (levels - 1)[:, None] * npl + widx[None, :]
+                    ).reshape(-1)
+                    parts[cat].append((c_full, w_full, coeff_full))
+                elif cat == "1":
+                    parts["1"].append(
+                        (c_full, np.zeros(m * (depth - 1), np.int64),
+                         coeff_full)
+                    )
+                elif cat == "S":
+                    w_full = np.tile(widx + self.statics_vbase, depth - 1)
+                    parts["V"].append((c_full, w_full, coeff_full))
+                elif cat in ("N1", "N2", "N3"):
+                    slot = {"N1": 0, "N2": 1, "N3": 2}[cat]
+                    w_full = (
+                        nvidx[:, None] + slot + 0 * widx[None, :]
+                    ).reshape(-1)
+                    parts["V"].append((c_full, w_full, coeff_full))
+                else:  # pragma: no cover
+                    raise AssertionError(f"unexpected category {cat}")
+
+        # leaf-index recomposition: sum((2*b1 + b0) * 4^l) - idx == 0
+        c_idx = depth * cpl
+        pow4 = [pow(4, lv, L) for lv in range(depth)]
+        b0_w = np.arange(depth, dtype=np.int64) * npl
+        parts["L"].append((
+            np.full(2 * depth, c_idx, dtype=np.int64),
+            np.concatenate([b0_w, b0_w + 1]),
+            scvec.from_ints(pow4 + [(2 * p) % L for p in pow4]),
+        ))
+        parts["V"].append((
+            np.asarray([c_idx], dtype=np.int64),
+            np.asarray([self.idx_vidx], dtype=np.int64),
+            scvec.from_ints([L - 1]),
+        ))
+
+        # root constraint: out(last level) - root == 0
+        c_root = depth * cpl + 1
+        out = tpl["out_b"] if depth > 1 else tpl["out_a"]
+        emit(
+            out,
+            c_root,
+            (depth - 2) * npl if depth > 1 else 0,
+            {
+                "LEAF": self.leaf_vidx,
+                "N1": self._node_vidx(depth - 1),
+                "N2": self._node_vidx(depth - 1) + 1,
+                "N3": self._node_vidx(depth - 1) + 2,
+            },
+        )
+        parts["1"].append(
+            (
+                np.asarray([c_root], dtype=np.int64),
+                np.zeros(1, dtype=np.int64),
+                scvec.from_ints([(-root.v) % L]),
+            )
+        )
+        return _new_tape(self.num_constraints, parts)
+
+    # --------------------------------------------------------------- witness
+    def witness(self, leaf: Scalar, idx: Scalar, nodes_flat: list[Scalar]):
+        """Multiplier wire arrays (a_L, a_R, a_O) for an honest witness.
+
+        ``nodes_flat``: the committed merkle proof, flattened root-level
+        first (3 siblings per level in child order) — the order of
+        :meth:`commit_prover`."""
+        assert _NATIVE is not None, "compiled witness needs the native lib"
+        depth = self.depth
+        assert len(nodes_flat) == 3 * depth
+        p = self.params
+        rk, mds = _params_blobs(p)
+        bits = self.digit_bits(idx, depth)
+        one, zero = Scalar.one(), Scalar.zero()
+        sbox_uv = np.zeros((depth, self.nsbox, 2, 4), dtype=np.uint64)
+        sel_rows: list[list[tuple]] = []
+        h = leaf
+        for lv in range(depth):
+            b0i, b1i = bits[lv]
+            base = 3 * (depth - 1 - lv)
+            N1, N2, N3 = nodes_flat[base : base + 3]
+            b0 = Scalar(b0i)
+            b1 = Scalar(b1i)
+            nb0 = one - b0
+            nb1 = one - b1
+            p00, p01 = nb0 * nb1, nb0 * b1
+            p10, p11 = b0 * nb1, b0 * b1
+            tri = [
+                (b0, nb0, zero),
+                (b1, nb1, zero),
+                (nb0, nb1, p00),
+                (nb0, b1, p01),
+                (b0, nb1, p10),
+                (b0, b1, p11),
+                (p00, h, p00 * h),
+                (b0, N1, b0 * N1),
+                (p01, N1, p01 * N1),
+                (p00, N1, p00 * N1),
+                (p10, h, p10 * h),
+                (p01, N2, p01 * N2),
+                (p11, N2, p11 * N2),
+                (nb1, N2, nb1 * N2),
+                (p01, h, p01 * h),
+                (p11, N3, p11 * N3),
+                (nb1, N3, nb1 * N3),
+                (p01, N3, p01 * N3),
+                (p11, h, p11 * h),
+            ]
+            sel_rows.append(tri)
+            c0 = tri[6][2] + tri[7][2] + tri[8][2]
+            c1 = tri[9][2] + tri[10][2] + tri[11][2] + tri[12][2]
+            c2 = tri[13][2] + tri[14][2] + tri[15][2]
+            c3 = tri[16][2] + tri[17][2] + tri[18][2]
+            state = scvec.from_scalars(
+                [zero, c0, c1, c2, c3, Scalar(PADDING_CONST)]
+            )
+            out_state = scvec.zeros(p.width)
+            _NATIVE._lib.poseidon_permutation_witness(
+                scvec._ptr(state),
+                scvec._ptr(out_state),
+                p.width,
+                rk,
+                mds,
+                p.full_rounds_beginning,
+                p.partial_rounds,
+                p.full_rounds_end,
+                1,  # inverse sbox
+                sbox_uv[lv].ctypes.data_as(scvec._U64P),
+            )
+            h = scvec.row_to_scalar(out_state[1])
+        nsel = len(sel_rows[0])
+        sel_aL = scvec.from_scalars(
+            [t[0] for tri in sel_rows for t in tri]
+        ).reshape(depth, nsel, 4)
+        sel_aR = scvec.from_scalars(
+            [t[1] for tri in sel_rows for t in tri]
+        ).reshape(depth, nsel, 4)
+        sel_aO = scvec.from_scalars(
+            [t[2] for tri in sel_rows for t in tri]
+        ).reshape(depth, nsel, 4)
+        sb_aL, sb_aR, sb_aO = _sbox_witness_arrays(sbox_uv, SboxType.Inverse)
+        per_sbox = 3
+        sb_shape = (depth, self.nsbox * per_sbox, 4)
+
+        def assemble(sel_part, sb_part):
+            return np.ascontiguousarray(np.concatenate(
+                [sel_part, sb_part.reshape(sb_shape)], axis=1
+            ).reshape(depth * (nsel + self.nsbox * per_sbox), 4))
+
+        aL = assemble(sel_aL, sb_aL)
+        aR = assemble(sel_aR, sb_aR)
+        aO = assemble(sel_aO, sb_aO)
+        assert len(aL) == self.num_multipliers
+        self._root = h
+        return aL, aR, aO
+
+    # ---------------------------------------------------------- commitments
+    def commit_prover(self, prover, leaf: Scalar, idx: Scalar, nodes_flat,
+                      rng=None):
+        from ..gadgets.poseidon import allocate_statics_for_prover
+
+        rand = (lambda: Scalar.random(rng)) if rng else Scalar.random
+        comms = [prover.commit(leaf, rand())[0]]
+        comms.append(prover.commit(idx, rand())[0])
+        for nd in nodes_flat:
+            comms.append(prover.commit(nd, rand())[0])
+        allocate_statics_for_prover(prover, 2)
+        return comms
+
+    def commit_verifier(self, verifier, comms, pc_gens):
+        from ..gadgets.poseidon import allocate_statics_for_verifier
+
+        for c in comms:
+            verifier.commit(c)
+        allocate_statics_for_verifier(verifier, 2, pc_gens)

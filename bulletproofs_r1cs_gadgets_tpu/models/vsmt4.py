@@ -89,6 +89,72 @@ class VanillaSparseMerkleTree4:
         return cur_val == target
 
 
+def vsmt4_digit_gadget(
+    cs,
+    prev_hash: LinearCombination,
+    bit_pair,
+    N1: LinearCombination,
+    N2: LinearCombination,
+    N3: LinearCombination,
+    statics_lcs: list[LinearCombination],
+    poseidon_params: PoseidonParams,
+):
+    """One base-4 digit level (``gadget_vsmt_4.rs:226-301``): booleanity-
+    constrained digit bits, the 4 bit-products, arithmetic placement of the
+    hidden node among siblings [N1, N2, N3] (13 multipliers), and the
+    Poseidon-4:1 hash.  ``bit_pair`` is ``(bit0, bit1)`` on the prover side
+    or ``None`` on the verifier/recording side.  Returns
+    ``(new_hash, b0, b1)`` — the bit variables feed the caller's leaf-index
+    recomposition constraint.  Shared by the generic loop gadget below and
+    the template compiler (:mod:`.compiled`), which stamps this segment
+    ``depth`` times."""
+    if bit_pair is not None:
+        bit0, bit1 = bit_pair
+        b0, b0_1, o = cs.allocate_multiplier((Scalar(bit0), Scalar(1 - bit0)))
+    else:
+        b0, b0_1, o = cs.allocate_multiplier(None)
+    cs.constrain(o.lc())
+    cs.constrain(b0 + (b0_1 - Scalar.one()))
+
+    if bit_pair is not None:
+        b1, b1_1, o = cs.allocate_multiplier((Scalar(bit1), Scalar(1 - bit1)))
+    else:
+        b1, b1_1, o = cs.allocate_multiplier(None)
+    cs.constrain(o.lc())
+    cs.constrain(b1 + (b1_1 - Scalar.one()))
+
+    _, _, b0_1_b1_1 = cs.multiply(b0_1.lc(), b1_1.lc())
+    _, _, b0_1_b1 = cs.multiply(b0_1.lc(), b1.lc())
+    _, _, b0_b1_1 = cs.multiply(b0.lc(), b1_1.lc())
+    _, _, b0_b1 = cs.multiply(b0.lc(), b1.lc())
+
+    _, _, c0_1 = cs.multiply(b0_1_b1_1.lc(), prev_hash)
+    _, _, c0_2 = cs.multiply(b0.lc(), N1)
+    _, _, c0_3 = cs.multiply(b0_1_b1.lc(), N1)
+    c0 = c0_1 + c0_2 + c0_3
+
+    _, _, c1_1 = cs.multiply(b0_1_b1_1.lc(), N1)
+    _, _, c1_2 = cs.multiply(b0_b1_1.lc(), prev_hash)
+    _, _, c1_3 = cs.multiply(b0_1_b1.lc(), N2)
+    _, _, c1_4 = cs.multiply(b0_b1.lc(), N2)
+    c1 = c1_1 + c1_2 + c1_3 + c1_4
+
+    _, _, c2_1 = cs.multiply(b1_1.lc(), N2)
+    _, _, c2_2 = cs.multiply(b0_1_b1.lc(), prev_hash)
+    _, _, c2_3 = cs.multiply(b0_b1.lc(), N3)
+    c2 = c2_1 + c2_2 + c2_3
+
+    _, _, c3_1 = cs.multiply(b1_1.lc(), N3)
+    _, _, c3_2 = cs.multiply(b0_1_b1.lc(), N3)
+    _, _, c3_3 = cs.multiply(b0_b1.lc(), prev_hash)
+    c3 = c3_1 + c3_2 + c3_3
+
+    new_hash = Poseidon_hash_4_constraints(
+        cs, [c0, c1, c2, c3], statics_lcs, poseidon_params, SboxType.Inverse
+    )
+    return new_hash, b0, b1
+
+
 def vanilla_merkle_tree_4_verif_gadget(
     cs,
     depth: int,
@@ -123,61 +189,20 @@ def vanilla_merkle_tree_4_verif_gadget(
         for j in range(4):
             if leaf_index.assignment is not None:
                 byte = leaf_index.assignment.byte(i)
-                bit0 = (byte >> (2 * j)) & 1
-                bit1 = (byte >> (2 * j + 1)) & 1
-                b0, b0_1, o = cs.allocate_multiplier(
-                    (Scalar(bit0), Scalar(1 - bit0))
-                )
+                bit_pair = ((byte >> (2 * j)) & 1, (byte >> (2 * j + 1)) & 1)
             else:
-                b0, b0_1, o = cs.allocate_multiplier(None)
-            cs.constrain(o.lc())
-            cs.constrain(b0 + (b0_1 - Scalar.one()))
-
-            if leaf_index.assignment is not None:
-                b1, b1_1, o = cs.allocate_multiplier(
-                    (Scalar(bit1), Scalar(1 - bit1))
-                )
-            else:
-                b1, b1_1, o = cs.allocate_multiplier(None)
-            cs.constrain(o.lc())
-            cs.constrain(b1 + (b1_1 - Scalar.one()))
-
-            constraint_leaf_index.append((b1, two * exp_4))
-            constraint_leaf_index.append((b0, exp_4))
+                bit_pair = None
 
             N3 = proof_nodes.pop().variable.lc()
             N2 = proof_nodes.pop().variable.lc()
             N1 = proof_nodes.pop().variable.lc()
 
-            _, _, b0_1_b1_1 = cs.multiply(b0_1.lc(), b1_1.lc())
-            _, _, b0_1_b1 = cs.multiply(b0_1.lc(), b1.lc())
-            _, _, b0_b1_1 = cs.multiply(b0.lc(), b1_1.lc())
-            _, _, b0_b1 = cs.multiply(b0.lc(), b1.lc())
-
-            _, _, c0_1 = cs.multiply(b0_1_b1_1.lc(), prev_hash)
-            _, _, c0_2 = cs.multiply(b0.lc(), N1)
-            _, _, c0_3 = cs.multiply(b0_1_b1.lc(), N1)
-            c0 = c0_1 + c0_2 + c0_3
-
-            _, _, c1_1 = cs.multiply(b0_1_b1_1.lc(), N1)
-            _, _, c1_2 = cs.multiply(b0_b1_1.lc(), prev_hash)
-            _, _, c1_3 = cs.multiply(b0_1_b1.lc(), N2)
-            _, _, c1_4 = cs.multiply(b0_b1.lc(), N2)
-            c1 = c1_1 + c1_2 + c1_3 + c1_4
-
-            _, _, c2_1 = cs.multiply(b1_1.lc(), N2)
-            _, _, c2_2 = cs.multiply(b0_1_b1.lc(), prev_hash)
-            _, _, c2_3 = cs.multiply(b0_b1.lc(), N3)
-            c2 = c2_1 + c2_2 + c2_3
-
-            _, _, c3_1 = cs.multiply(b1_1.lc(), N3)
-            _, _, c3_2 = cs.multiply(b0_1_b1.lc(), N3)
-            _, _, c3_3 = cs.multiply(b0_b1.lc(), prev_hash)
-            c3 = c3_1 + c3_2 + c3_3
-
-            prev_hash = Poseidon_hash_4_constraints(
-                cs, [c0, c1, c2, c3], statics_lcs, poseidon_params, SboxType.Inverse
+            prev_hash, b0, b1 = vsmt4_digit_gadget(
+                cs, prev_hash, bit_pair, N1, N2, N3, statics_lcs,
+                poseidon_params,
             )
+            constraint_leaf_index.append((b1, two * exp_4))
+            constraint_leaf_index.append((b0, exp_4))
             exp_4 = exp_4 * four
 
     cs.constrain(LinearCombination(constraint_leaf_index))

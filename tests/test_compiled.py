@@ -246,3 +246,111 @@ def test_poseidon2_compiled_roundtrip(params):
     allocate_statics_for_verifier(verifier, 4, pc)
     verifier.load_compiled(comp.tape(expected), comp.num_multipliers)
     verifier.verify(proof, pc, bp)
+
+
+# ------------------------------------------------------------------ VSMT-4
+from bulletproofs_r1cs_gadgets_tpu.models.compiled import CompiledVSMT4
+from bulletproofs_r1cs_gadgets_tpu.models.vsmt4 import (
+    VanillaSparseMerkleTree4,
+    vanilla_merkle_tree_4_verif_gadget,
+)
+
+
+@pytest.fixture(scope="module")
+def tree4(params):
+    t = VanillaSparseMerkleTree4(params, depth=4)
+    for i in range(1, 6):
+        t.update(Scalar(i), Scalar(i))
+    return t
+
+
+def _generic_vsmt4_prover(params, tree4, k):
+    """Prover synthesized the reference way (tests/test_trees.py order)."""
+    depth = tree4.depth
+    mp = []
+    assert tree4.get(k, mp) == k
+    pc = PedersenGens.default()
+    prover = Prover(pc, Transcript(b"VSMT"))
+    _, var = prover.commit(k, Scalar.random())
+    leaf = AllocatedScalar(var, k)
+    _, var = prover.commit(k, Scalar.random())
+    idx = AllocatedScalar(var, k)
+    pf = []
+    nodes_flat = []
+    for level in mp:  # root level first, 3 siblings in child order
+        for elem in level:
+            _, v = prover.commit(elem, Scalar.random())
+            pf.append(AllocatedScalar(v, elem))
+            nodes_flat.append(elem)
+    statics = allocate_statics_for_prover(prover, 2)
+    vanilla_merkle_tree_4_verif_gadget(
+        prover, depth, tree4.root, leaf, idx, pf, statics, params,
+    )
+    return prover, nodes_flat
+
+
+def test_vsmt4_tape_and_witness_match_generic(params, tree4):
+    k = Scalar(3)
+    prover, nodes_flat = _generic_vsmt4_prover(params, tree4, k)
+    generic_tape = TapeArrays(prover.constraints)
+
+    comp = CompiledVSMT4(params, tree4.depth)
+    assert comp.num_multipliers == prover.num_multipliers()
+    assert comp.num_constraints == prover.num_constraints()
+    assert _tape_key(comp.tape(tree4.root)) == _tape_key(generic_tape)
+
+    aL, aR, aO = comp.witness(k, k, nodes_flat)
+    assert np.array_equal(aL, scvec.from_scalars(prover.a_L))
+    assert np.array_equal(aR, scvec.from_scalars(prover.a_R))
+    assert np.array_equal(aO, scvec.from_scalars(prover.a_O))
+    assert comp._root == tree4.root
+
+
+def test_vsmt4_compiled_prover_generic_verifier(params, tree4):
+    depth = tree4.depth
+    k = Scalar(2)
+    mp = []
+    assert tree4.get(k, mp) == k
+    nodes_flat = [elem for level in mp for elem in level]
+
+    pc = PedersenGens.default()
+    bp = BulletproofGens(8192)
+    comp = CompiledVSMT4(params, depth)
+
+    prover = Prover(pc, Transcript(b"VSMT"))
+    comms = comp.commit_prover(prover, k, k, nodes_flat)
+    aL, aR, aO = comp.witness(k, k, nodes_flat)
+    prover.load_compiled(comp.tape(tree4.root), aL, aR, aO)
+    proof = prover.prove(bp)
+
+    # generic verifier re-synthesizes the circuit the reference way
+    verifier = Verifier(Transcript(b"VSMT"))
+    it = iter(comms)
+    leaf = AllocatedScalar(verifier.commit(next(it)))
+    idx = AllocatedScalar(verifier.commit(next(it)))
+    pf = [AllocatedScalar(verifier.commit(next(it)))
+          for _ in range(3 * depth)]
+    vstatics = allocate_statics_for_verifier(verifier, 2, pc)
+    vanilla_merkle_tree_4_verif_gadget(
+        verifier, depth, tree4.root, leaf, idx, pf, vstatics, params,
+    )
+    verifier.verify(proof, pc, bp)
+
+
+def test_vsmt4_generic_prover_compiled_verifier(params, tree4):
+    depth = tree4.depth
+    k = Scalar(5)
+    prover, _ = _generic_vsmt4_prover(params, tree4, k)
+    pc = PedersenGens.default()
+    bp = BulletproofGens(8192)
+    proof = prover.prove(bp)
+
+    comp = CompiledVSMT4(params, depth)
+    verifier = Verifier(Transcript(b"VSMT"))
+    comms = [
+        pc.commit(v, b).compress()
+        for v, b in zip(prover.v, prover.v_blinding)
+    ][: 2 + 3 * depth]
+    comp.commit_verifier(verifier, comms, pc)
+    verifier.load_compiled(comp.tape(tree4.root), comp.num_multipliers)
+    verifier.verify(proof, pc, bp)
