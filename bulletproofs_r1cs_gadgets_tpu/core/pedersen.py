@@ -220,6 +220,14 @@ class BulletproofGens:
     def H(self, n: int, party: int = 0) -> list[RistrettoPoint]:
         return self._objs("H", party)[:n]
 
+    def G_raw(self, n: int, party: int = 0) -> np.ndarray:
+        """(n, 4, 16) uint16 raw extended-coordinate array (the storage
+        layout; 128 B/point LE — the native group layer's input)."""
+        return self.G_arr[party][:n]
+
+    def H_raw(self, n: int, party: int = 0) -> np.ndarray:
+        return self.H_arr[party][:n]
+
     def G_limbs(self, n: int, party: int = 0) -> np.ndarray:
         """(n, 4, 23) int32 12-bit-limb array (device-upload layout)."""
         key = ("G", party)
@@ -257,6 +265,12 @@ class _BulletproofGensShare:
 
     def H_limbs(self, n: int):
         return self._gens.H_limbs(n, self._share)
+
+    def G_raw(self, n: int):
+        return self._gens.G_raw(n, self._share)
+
+    def H_raw(self, n: int):
+        return self._gens.H_raw(n, self._share)
 
 
 _DEFAULT_PC_GENS = PedersenGens()

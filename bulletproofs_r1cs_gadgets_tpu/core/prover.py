@@ -263,6 +263,12 @@ class Prover:
     def _random_scalar(self) -> Scalar:
         return Scalar.from_bytes_mod_order_wide(self.rng.bytes(64))
 
+    def _random_vec(self, n: int):
+        """n uniform scalar rows from the prover's rng (wide reduction)
+        — a deterministic private rng therefore yields byte-identical
+        proofs across backends (pinned by tests/test_native_backend.py)."""
+        return scvec.from_wide_bytes(self.rng.bytes(64 * n))
+
     def _create_randomized_constraints(self) -> None:
         if not self.deferred_constraints:
             self.transcript.r1cs_1phase_domain_sep()
@@ -296,8 +302,8 @@ class Prover:
             aL=aL_arr,
             aR=aR_arr,
             aO=aO_arr,
-            sL=scvec.random(n1),
-            sR=scvec.random(n1),
+            sL=self._random_vec(n1),
+            sR=self._random_vec(n1),
             gens=bp_gens.share(0),
             B_b=self.pc_gens.B_blinding,
         )
@@ -427,8 +433,8 @@ class Prover:
             i_blinding2 = self._random_scalar()
             o_blinding2 = self._random_scalar()
             s_blinding2 = self._random_scalar()
-            sL2_arr = scvec.random(n2)
-            sR2_arr = scvec.random(n2)
+            sL2_arr = self._random_vec(n2)
+            sR2_arr = self._random_vec(n2)
             s_L2 = scvec.to_scalars(sL2_arr)
             s_R2 = scvec.to_scalars(sR2_arr)
             G2 = gens.G(n)[n1:]

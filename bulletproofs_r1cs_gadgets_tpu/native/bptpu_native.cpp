@@ -846,4 +846,251 @@ void ge_from_uniform_batch(const uint8_t* seeds, uint8_t* out, i64 n) {
   }
 }
 
+
+// ===================================================================
+// Single-core group layer over raw extended coords (X,Y,Z,T as 32-byte
+// LE field elements each; 128 B/point).  This is the host stand-in for
+// the reference engine's curve25519-dalek serial backend (same 51-bit
+// limb schedule, same Pippenger window policy): it powers the
+// NativeBackend CPU prover and the measured single-core baseline proxy
+// (BASELINE.md).  All functions are variable-time (prover-side only).
+
+static void ge_frombytes_raw(ge* p, const uint8_t* b) {
+  fe_frombytes(&p->X, b);
+  fe_frombytes(&p->Y, b + 32);
+  fe_frombytes(&p->Z, b + 64);
+  fe_frombytes(&p->T, b + 96);
+}
+
+static void ge_tobytes_raw(uint8_t* b, const ge* p) {
+  fe_tobytes(b, &p->X);
+  fe_tobytes(b + 32, &p->Y);
+  fe_tobytes(b + 64, &p->Z);
+  fe_tobytes(b + 96, &p->T);
+}
+
+static void ge_ident(ge* p) {
+  for (int i = 0; i < 5; ++i) {
+    p->X.v[i] = 0;
+    p->Y.v[i] = 0;
+    p->Z.v[i] = 0;
+    p->T.v[i] = 0;
+  }
+  p->Y.v[0] = 1;
+  p->Z.v[0] = 1;
+}
+
+// dbl-2008-hwcd (a = -1): cheaper than the unified add for P + P
+static void ge_dbl(ge* out, const ge* p) {
+  fe A, B, C, E, G, F, H, t;
+  fe_sq(&A, &p->X);
+  fe_sq(&B, &p->Y);
+  fe_sq(&C, &p->Z);
+  fe_add(&C, &C, &C);
+  fe_add(&t, &p->X, &p->Y);
+  fe_sq(&t, &t);
+  fe_add(&E, &A, &B);
+  fe_sub(&E, &t, &E);        // (X+Y)^2 - A - B
+  fe_sub(&G, &B, &A);        // D + B with D = -A
+  fe_sub(&F, &G, &C);
+  fe_neg(&H, &A);
+  fe_sub(&H, &H, &B);        // -(A + B)
+  fe_mul(&out->X, &E, &F);
+  fe_mul(&out->Y, &G, &H);
+  fe_mul(&out->Z, &F, &G);
+  fe_mul(&out->T, &E, &H);
+}
+
+static void ge_neg_pt(ge* out, const ge* p) {
+  fe_neg(&out->X, &p->X);
+  out->Y = p->Y;
+  out->Z = p->Z;
+  fe_neg(&out->T, &p->T);
+}
+
+static inline int sc_bit(const uint8_t* s, int i) {
+  return (s[i >> 3] >> (i & 7)) & 1;
+}
+
+// width-w non-adjacent form of a 256-bit LE scalar; out has 257 digits
+static void sc_wnaf(const uint8_t* s, int w, int8_t* out) {
+  int val[257];
+  for (int i = 0; i < 256; ++i) val[i] = sc_bit(s, i);
+  val[256] = 0;
+  for (int i = 0; i <= 256; ++i) out[i] = 0;
+  int width = 1 << w;
+  for (int i = 0; i <= 256 - 0; ) {
+    if (i > 256) break;
+    if (val[i] == 0) { ++i; continue; }
+    // collect w bits
+    int d = 0;
+    for (int j = 0; j < w && i + j <= 256; ++j) d |= val[i + j] << j;
+    if (d & (width >> 1)) {
+      d -= width;
+      // propagate carry
+      int k = i + w;
+      while (k <= 256 && val[k] == 1) { val[k] = 0; ++k; }
+      if (k <= 256) val[k] = 1;
+    }
+    out[i] = (int8_t)d;
+    for (int j = 0; j < w && i + j <= 256; ++j) val[i + j] = 0;
+    i += w;
+  }
+}
+
+// odd-multiple table {1P, 3P, ..., (2k-1)P}
+static void ge_odd_table(const ge* p, ge* tbl, int k) {
+  ge p2;
+  ge_dbl(&p2, p);
+  tbl[0] = *p;
+  for (int i = 1; i < k; ++i) ge_add(&tbl[i], &tbl[i - 1], &p2);
+}
+
+static void ge_wnaf_accum(ge* acc, const int8_t* naf, const ge* tbl,
+                          int idx) {
+  int d = naf[idx];
+  if (d > 0) {
+    ge_add(acc, acc, &tbl[(d - 1) >> 1]);
+  } else if (d < 0) {
+    ge neg;
+    ge_neg_pt(&neg, &tbl[(-d - 1) >> 1]);
+    ge_add(acc, acc, &neg);
+  }
+}
+
+// out[i] = s[i] * P[i]  (wNAF-5; scalars (n,4) u64 LE rows)
+void ge_scalar_mul_vec(const uint8_t* coords, const u64* scalars,
+                       uint8_t* out, i64 n) {
+  int8_t naf[257];
+  ge tbl[8];
+  for (i64 i = 0; i < n; ++i) {
+    ge p;
+    ge_frombytes_raw(&p, coords + 128 * i);
+    sc_wnaf((const uint8_t*)(scalars + 4 * i), 5, naf);
+    int top = 256;
+    while (top >= 0 && naf[top] == 0) --top;
+    ge acc;
+    ge_ident(&acc);
+    if (top >= 0) {
+      ge_odd_table(&p, tbl, 8);
+      for (int j = top; j >= 0; --j) {
+        if (j != top) ge_dbl(&acc, &acc);
+        ge_wnaf_accum(&acc, naf, tbl, j);
+      }
+    }
+    ge_tobytes_raw(out + 128 * i, &acc);
+  }
+}
+
+// out[i] = cL * L[i] + cR * R[i]  (the dalek IPP generator fold,
+// interleaved wNAF-5 double-scalar multiplication per element)
+void ge_fold_vec(const uint8_t* L, const uint8_t* R, const u64 cL[4],
+                 const u64 cR[4], uint8_t* out, i64 n) {
+  int8_t nafL[257], nafR[257];
+  sc_wnaf((const uint8_t*)cL, 5, nafL);
+  sc_wnaf((const uint8_t*)cR, 5, nafR);
+  int top = 256;
+  while (top >= 0 && nafL[top] == 0 && nafR[top] == 0) --top;
+  ge tl[8], tr[8];
+  for (i64 i = 0; i < n; ++i) {
+    ge pl, pr, acc;
+    ge_frombytes_raw(&pl, L + 128 * i);
+    ge_frombytes_raw(&pr, R + 128 * i);
+    ge_ident(&acc);
+    if (top >= 0) {
+      ge_odd_table(&pl, tl, 8);
+      ge_odd_table(&pr, tr, 8);
+      for (int j = top; j >= 0; --j) {
+        if (j != top) ge_dbl(&acc, &acc);
+        ge_wnaf_accum(&acc, nafL, tl, j);
+        ge_wnaf_accum(&acc, nafR, tr, j);
+      }
+    }
+    ge_tobytes_raw(out + 128 * i, &acc);
+  }
+}
+
+// out[i] = sL[i] * L[i] + sR[i] * R[i]  (round-1 fold: the outer
+// protocol's G/H factors make the fold scalars per-element)
+void ge_fold_vec_var(const uint8_t* L, const uint8_t* R, const u64* sL,
+                     const u64* sR, uint8_t* out, i64 n) {
+  int8_t nafL[257], nafR[257];
+  ge tl[8], tr[8];
+  for (i64 i = 0; i < n; ++i) {
+    sc_wnaf((const uint8_t*)(sL + 4 * i), 5, nafL);
+    sc_wnaf((const uint8_t*)(sR + 4 * i), 5, nafR);
+    int top = 256;
+    while (top >= 0 && nafL[top] == 0 && nafR[top] == 0) --top;
+    ge pl, pr, acc;
+    ge_frombytes_raw(&pl, L + 128 * i);
+    ge_frombytes_raw(&pr, R + 128 * i);
+    ge_ident(&acc);
+    if (top >= 0) {
+      ge_odd_table(&pl, tl, 8);
+      ge_odd_table(&pr, tr, 8);
+      for (int j = top; j >= 0; --j) {
+        if (j != top) ge_dbl(&acc, &acc);
+        ge_wnaf_accum(&acc, nafL, tl, j);
+        ge_wnaf_accum(&acc, nafR, tr, j);
+      }
+    }
+    ge_tobytes_raw(out + 128 * i, &acc);
+  }
+}
+
+// Pippenger MSM (the reference engine's window policy: dalek's
+// size-picked windows).  scalars: (n, 4) u64 LE rows; out: one point.
+void ge_msm(const u64* scalars, const uint8_t* coords, i64 n,
+            uint8_t* out) {
+  ge acc;
+  ge_ident(&acc);
+  if (n == 0) {
+    ge_tobytes_raw(out, &acc);
+    return;
+  }
+  int w = n < 32 ? 3 : (n < 500 ? 6 : (n < 800 ? 7 : 8));
+  int nb = 1 << w;
+  int nwin = (253 + w - 1) / w;
+  ge* pts = new ge[n];
+  for (i64 i = 0; i < n; ++i) ge_frombytes_raw(&pts[i], coords + 128 * i);
+  ge* buckets = new ge[nb];
+  for (int win = nwin - 1; win >= 0; --win) {
+    if (win != nwin - 1)
+      for (int j = 0; j < w; ++j) ge_dbl(&acc, &acc);
+    for (int b = 1; b < nb; ++b) ge_ident(&buckets[b]);
+    int shift = win * w;
+    for (i64 i = 0; i < n; ++i) {
+      const uint8_t* s = (const uint8_t*)(scalars + 4 * i);
+      int d = 0;
+      for (int j = 0; j < w && shift + j < 256; ++j)
+        d |= sc_bit(s, shift + j) << j;
+      if (d) ge_add(&buckets[d], &buckets[d], &pts[i]);
+    }
+    ge run, win_sum;
+    ge_ident(&run);
+    ge_ident(&win_sum);
+    for (int b = nb - 1; b >= 1; --b) {
+      ge_add(&run, &run, &buckets[b]);
+      ge_add(&win_sum, &win_sum, &run);
+    }
+    ge_add(&acc, &acc, &win_sum);
+  }
+  delete[] pts;
+  delete[] buckets;
+  ge_tobytes_raw(out, &acc);
+}
+
+// point-add / double microbenchmark atoms (baseline roofline)
+void ge_bench(i64 reps, uint8_t inout[128], int op) {
+  ge p;
+  ge_frombytes_raw(&p, inout);
+  if (op == 0) {
+    ge q = p;
+    for (i64 i = 0; i < reps; ++i) ge_add(&p, &p, &q);
+  } else {
+    for (i64 i = 0; i < reps; ++i) ge_dbl(&p, &p);
+  }
+  ge_tobytes_raw(inout, &p);
+}
+
 }  // extern "C"

@@ -64,6 +64,20 @@ class _Native:
         lib.ge_from_uniform_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, i64
         ]
+        # single-core group layer (NativeBackend / baseline proxy)
+        lib.ge_msm.argtypes = [u64p, ctypes.c_void_p, i64, ctypes.c_void_p]
+        lib.ge_fold_vec.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, u64p, u64p, ctypes.c_void_p,
+            i64,
+        ]
+        lib.ge_fold_vec_var.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, u64p, u64p, ctypes.c_void_p,
+            i64,
+        ]
+        lib.ge_scalar_mul_vec.argtypes = [
+            ctypes.c_void_p, u64p, ctypes.c_void_p, i64
+        ]
+        lib.ge_bench.argtypes = [i64, ctypes.c_void_p, ctypes.c_int]
 
     def keccak_f1600(self, state: bytearray) -> None:
         buf = (ctypes.c_char * 200).from_buffer(state)
