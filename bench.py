@@ -357,6 +357,151 @@ def stage3_vsmt(depth=None, backend=None):
     return dt, ctx
 
 
+def stage3b_vsmt4(backend):
+    """VSMT-4 depth-128 proof (BASELINE config 4; gadget_vsmt_4.rs:199-312):
+    74,624 multipliers padded to 2^17.  Siblings are synthetic scalars (the
+    circuit proves membership wrt the root the witness chain produces —
+    identical constraint structure to a real tree's proof)."""
+    from bulletproofs_r1cs_gadgets_tpu import (
+        BulletproofGens, PedersenGens, Prover, Scalar, Transcript, Verifier,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon import PoseidonParams
+    from bulletproofs_r1cs_gadgets_tpu.models.compiled import CompiledVSMT4
+
+    depth = int(os.environ.get("BENCH_VSMT4_DEPTH", 128))
+    params = PoseidonParams(6, 4, 4, 140)
+    comp = CompiledVSMT4(params, depth)
+    padded = 1 << (comp.num_multipliers - 1).bit_length()
+    pc_gens = PedersenGens.default()
+    t0 = time.time()
+    bp_gens = BulletproofGens(padded)
+    log(f"[stage3b] gens({padded}) ready in {time.time()-t0:.1f}s")
+
+    k = Scalar(7)
+    nodes = [Scalar(1000 + i) for i in range(3 * depth)]
+    t0 = time.time()
+    aL, aR, aO = comp.witness(k, k, nodes)
+    root = comp._root
+    tape = comp.tape(root)
+    prover = Prover(pc_gens, Transcript(b"VSMT"))
+    comms = comp.commit_prover(prover, k, k, nodes)
+    prover.load_compiled(tape, aL, aR, aO)
+    log(
+        f"[stage3b] compiled synthesis {time.time()-t0:.1f}s, "
+        f"{prover.num_multipliers()} multipliers"
+    )
+    snap = prover.snapshot()
+    t0 = time.time()
+    proof = prover.prove(bp_gens, backend=backend)
+    log(f"[stage3b] cold prove {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    verifier = Verifier(Transcript(b"VSMT"))
+    comp.commit_verifier(verifier, comms, pc_gens)
+    verifier.load_compiled(tape, comp.num_multipliers)
+    verifier.verify(proof, pc_gens, bp_gens, backend=backend)
+    log(f"[stage3b] VERIFIED in {time.time()-t0:.1f}s")
+
+    dt = None
+    for i in range(2):
+        prover.restore(snap)
+        t0 = time.time()
+        prover.prove(bp_gens, backend=backend)
+        dt = time.time() - t0
+        log(f"[stage3b] warm prove {i} {dt:.1f}s")
+    return dt
+
+
+def stage5_equiv_gate(backend):
+    """Path-equivalence gate: the SAME seeded circuit proven through the
+    production Pallas path under every kernel-path flag combo
+    ({WINMSM, W3H} x {0,1}) AND through the single-core C++ NativeBackend
+    must yield BYTE-IDENTICAL proofs (the practical mitigation for the
+    missing Rust proof fixture — a wrong-but-verifying kernel regression
+    cannot slip through).  Uses a depth-8 VSMT-2 circuit (4,544 multipliers
+    padded to 8,192 = 4 chunks) so the grid/combined/frozen-tail layers are
+    all exercised."""
+    import numpy as np
+
+    from bulletproofs_r1cs_gadgets_tpu import (
+        BulletproofGens, PedersenGens, Prover, Transcript, Verifier, Scalar,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.poseidon import PoseidonParams
+    from bulletproofs_r1cs_gadgets_tpu.models.compiled import CompiledVSMT2
+    from bulletproofs_r1cs_gadgets_tpu.models.vsmt2 import (
+        VanillaSparseMerkleTree, leaf_index_bit_scalars,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pbm
+
+    depth = 8
+    params = PoseidonParams(6, 4, 4, 140)
+    tree = VanillaSparseMerkleTree(params, depth=depth)
+    for i in range(1, 4):
+        tree.update(Scalar(i), Scalar(i))
+    k = Scalar(2)
+    mp = []
+    assert tree.get(k, mp) == k
+    bits = [b.v for b in leaf_index_bit_scalars(k, depth)]
+    nodes = list(reversed(mp))
+    comp = CompiledVSMT2(params, depth, constrain_index_bits=False)
+    tape = comp.tape(tree.root)
+    aLw, aRw, aOw = comp.witness(k, bits, nodes)
+    pc_gens = PedersenGens.default()
+    bp_gens = BulletproofGens(8192)
+
+    def prove_with(be):
+        prover = Prover(
+            pc_gens, Transcript(b"VSMT"), rng=np.random.RandomState(42)
+        )
+        comms = comp.commit_prover(
+            prover, k, bits, nodes, rng=np.random.RandomState(7)
+        )
+        prover.load_compiled(tape, aLw, aRw, aOw)
+        return prover.prove(bp_gens, backend=be), comms
+
+    results = {}
+    try:
+        from bulletproofs_r1cs_gadgets_tpu.ops.native_backend import (
+            NativeBackend, native_available,
+        )
+
+        if native_available():
+            t0 = time.time()
+            proof, comms = prove_with(NativeBackend())
+            results["native-cpu"] = proof.to_bytes()
+            log(f"[stage5] native-cpu proof in {time.time()-t0:.1f}s")
+    except Exception as e:
+        log(f"[stage5] native path unavailable: {e}")
+
+    saved = (pbm._WINMSM, pbm._W3H)
+    combos = [(True, True), (True, False), (False, True), (False, False)]
+    try:
+        for winmsm, w3h in combos:
+            pbm._WINMSM, pbm._W3H = winmsm, w3h
+            t0 = time.time()
+            proof, comms = prove_with(backend)
+            tag = f"pallas(WINMSM={int(winmsm)},W3H={int(w3h)})"
+            results[tag] = proof.to_bytes()
+            log(f"[stage5] {tag} proof in {time.time()-t0:.1f}s")
+    finally:
+        pbm._WINMSM, pbm._W3H = saved
+
+    blobs = set(results.values())
+    if len(blobs) != 1:
+        sizes = {k2: len(v) for k2, v in results.items()}
+        raise AssertionError(
+            f"PATH DIVERGENCE: {len(blobs)} distinct proof byte-strings "
+            f"across {list(results)} (sizes {sizes})"
+        )
+    # and the common proof verifies
+    verifier = Verifier(Transcript(b"VSMT"))
+    comp.commit_verifier(verifier, comms, pc_gens)
+    verifier.load_compiled(tape, comp.num_multipliers)
+    verifier.verify(proof, pc_gens, bp_gens, backend=backend)
+    log(f"[stage5] EQUIVALENCE OK: {len(results)} paths byte-identical "
+        f"({len(proof.to_bytes())} B) and verifying")
+
+
 def stage4_batch_vsmt(ctx, backend, serial_dt):
     """Batched VSMT-2 proving: B provers driven stage-synchronously with
     fused device syncs (parallel.batch.prove_provers)."""
@@ -421,18 +566,46 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
     return B, dt
 
 
+def _load_local_baseline() -> dict:
+    """Single-core native baseline (BASELINE_LOCAL.json, produced by
+    scratch/measure_native_baseline.py): measured end-to-end timings of the
+    C++ NativeBackend — the Rust-engine stand-in (BASELINE.md) — on the
+    exact bench circuits.  vs_baseline = TPU rate / single-core native
+    rate for the same workload."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json"
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _ratio(baseline_s, measured_s):
+    if not baseline_s or not measured_s:
+        return None
+    return round(baseline_s / measured_s, 2)
+
+
 def main():
     deadline = float(os.environ.get("BENCH_DEADLINE_S", 1500))
     threading.Thread(
         target=_watchdog, args=(deadline,), daemon=True
     ).start()
     stop_after = int(os.environ.get("BENCH_STAGE", 4))
+    base = _load_local_baseline()
 
     msm_rate = None
     try:
         msm_rate, msm_dt = stage1_msm()
         log(f"[stage1] {msm_rate/1e6:.1f} M point-adds/sec")
-        result("MSM point-adds/sec (1 chip)", msm_rate, "ops/s")
+        result(
+            "MSM point-adds/sec (1 chip)", msm_rate, "ops/s",
+            vs_baseline=_ratio(base.get("msm_65536_s"), msm_dt),
+            extra={"native_single_core_msm_s": base.get("msm_65536_s")}
+            if base else None,
+        )
     except Exception as e:  # pragma: no cover
         log(f"[stage1] FAILED: {type(e).__name__}: {e}")
         if stop_after == 1:
@@ -449,9 +622,11 @@ def main():
             "proofs/sec/chip (Poseidon 2:1 preimage)",
             1.0 / warm2,
             "proofs/s",
+            vs_baseline=_ratio(base.get("poseidon2_prove_s"), warm2),
             extra={
                 "warm_prove_seconds": round(warm2, 3),
                 "msm_point_adds_per_sec": msm_rate,
+                "native_single_core_prove_s": base.get("poseidon2_prove_s"),
             },
         )
     except Exception as e:
@@ -470,9 +645,11 @@ def main():
             "proofs/sec/chip (VSMT-2 Poseidon gadget)",
             1.0 / dt,
             "proofs/s",
+            vs_baseline=_ratio(base.get("vsmt2_prove_s"), dt),
             extra={
                 "prove_seconds": round(dt, 2),
                 "msm_point_adds_per_sec": msm_rate,
+                "native_single_core_prove_s": base.get("vsmt2_prove_s"),
             },
         )
     except Exception as e:
@@ -493,11 +670,13 @@ def main():
                 "proofs/sec/chip (VSMT-2 Poseidon gadget)",
                 B / bdt,
                 "proofs/s",
+                vs_baseline=_ratio(base.get("vsmt2_prove_s"), bdt / B),
                 extra={
                     "batch": B,
                     "batch_seconds": round(bdt, 2),
                     "serial_prove_seconds": round(dt, 2),
                     "msm_point_adds_per_sec": msm_rate,
+                    "native_single_core_prove_s": base.get("vsmt2_prove_s"),
                 },
             )
         else:
