@@ -661,6 +661,21 @@ def main():
     if stop_after == 3:
         return
 
+    if os.environ.get("BENCH_VSMT4", "1") != "0":
+        try:
+            dt4 = stage3b_vsmt4(backend)
+            result(
+                "proofs/sec/chip (VSMT-4 Poseidon gadget)",
+                1.0 / dt4,
+                "proofs/s",
+                extra={"prove_seconds": round(dt4, 2)},
+            )
+        except Exception as e:
+            log(f"[stage3b] FAILED: {type(e).__name__}: {e}")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+
     try:
         B, bdt = stage4_batch_vsmt(ctx, backend, dt)
         if B / bdt > 1.0 / dt:
@@ -691,6 +706,22 @@ def main():
         traceback.print_exc(file=sys.stderr)
         if _BEST is None:
             raise
+
+    if os.environ.get("BENCH_EQUIV", "1") != "0":
+        try:
+            stage5_equiv_gate(backend)
+        except Exception as e:
+            # a divergence is a correctness emergency: make it the LAST
+            # (recorded) line and fail the run loudly
+            log(f"[stage5] FAILED: {type(e).__name__}: {e}")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            result(
+                "PATH DIVERGENCE (stage5 equivalence gate FAILED)",
+                0.0, "proofs/s",
+            )
+            sys.exit(1)
 
 
 if __name__ == "__main__":
