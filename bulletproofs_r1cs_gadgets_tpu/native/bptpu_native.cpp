@@ -115,19 +115,32 @@ static void l_shifted(int s, u64 out[8]) {
 // all arithmetic stays non-negative.  Value bounds per pass:
 //   < 2^512 -> < 2^454 -> < 2^334 -> < 2^254 -> < 2^253.2,
 // after which at most three conditional subtractions of L finish.
+// The (L << k) tables are precomputed; a pass whose hi = x >> 252 is
+// already zero leaves x < 2^252 and the loop exits early (the common case
+// after pass 2 for canonical-operand products).
+static u64 KL_TAB[4][8];
+static int KL_READY = 0;
+static const int KSHIFT[4] = {200, 80, 0, 0};
+
 static void reduce_wide(const u64 in[8], u64 out[4]) {
   u64 x[8];
   memcpy(x, in, 8 * sizeof(u64));
-  static const int KSHIFT[4] = {200, 80, 0, 0};
+  if (!KL_READY) {  // idempotent: same values from any thread
+    for (int p = 0; p < 4; ++p) l_shifted(KSHIFT[p], KL_TAB[p]);
+    KL_READY = 1;
+  }
 
   for (int pass = 0; pass < 4; ++pass) {
     // hi = x >> 252 (5 limbs), lo = x mod 2^252
     u64 hi[5];
+    u64 any_hi = 0;
     for (int i = 0; i < 5; ++i) {
       u64 lo_part = x[3 + i] >> 60;
       u64 hi_part = (i + 4 < 8) ? (x[4 + i] << 4) : 0;
       hi[i] = lo_part | hi_part;
+      any_hi |= hi[i];
     }
+    if (!any_hi) break;  // x < 2^252 already
     u64 lo[4] = {x[0], x[1], x[2], x[3] & 0x0fffffffffffffffULL};
     // prod = hi * C (5x2 -> up to 7 limbs)
     u64 prod[8] = {0, 0, 0, 0, 0, 0, 0, 0};
@@ -145,8 +158,7 @@ static void reduce_wide(const u64 in[8], u64 out[4]) {
       }
     }
     // x = lo + (L << KSHIFT[pass]) - prod   (non-negative by construction)
-    u64 kl[8];
-    l_shifted(KSHIFT[pass], kl);
+    const u64* kl = KL_TAB[pass];
     u128 carry = 0;
     for (int i = 0; i < 8; ++i) {
       u128 cur = (u128)((i < 4) ? lo[i] : 0) + kl[i] + carry;

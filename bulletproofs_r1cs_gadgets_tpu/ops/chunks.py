@@ -560,17 +560,29 @@ def table_big(points_big: jnp.ndarray, valid: int,
 
 
 def msm_win(table: jnp.ndarray, words_big: jnp.ndarray, valid: int,
-            poff: int = 0, woff: int = 0, chain=None) -> jnp.ndarray:
+            poff: int = 0, woff: int = 0, chain=None,
+            split: int | None = None, poff2: int = 0) -> jnp.ndarray:
     """Window-accumulator MSM over `valid` chunks: table chunks
     [poff, poff+valid) x word chunks [woff, woff+valid); returns the
     position-uniform (92, 8, 256) accumulator `chain + total` (chains
-    with msm_chain / other msm_win calls in any order)."""
+    with msm_chain / other msm_win calls in any order).
+
+    `split`/`poff2` walk TWO table segments in one dispatch (wrap-around
+    index map): steps [0, split) read table chunks [poff, poff+split),
+    steps [split, valid) read [poff2, poff2+valid-split) — the IPP R
+    walk's disjoint G-low/H-high segments stop paying a second ~12 ms
+    fixed dispatch cost."""
     assert valid >= 1
     if chain is None:
         chain = ident_chunk()
-    info = np.array([valid, poff, woff], dtype=np.int32)
     tc = table.shape[-1] // (TBL * pc.LAN_BLOCK)
-    assert poff + valid <= tc
+    if split is None:
+        split, poff2 = valid, poff  # degenerate: second branch never fires
+    else:
+        assert 1 <= split <= valid
+        assert poff2 + (valid - split) <= tc
+    assert poff + split <= tc
+    info = np.array([valid, poff, woff, split, poff2], dtype=np.int32)
     return pc.msm_win_dyn(table, words_big, chain, info, valid)
 
 

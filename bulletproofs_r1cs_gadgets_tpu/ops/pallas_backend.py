@@ -65,6 +65,10 @@ _WINMSM = os.environ.get("BPTPU_WINMSM", "1") != "0"
 # half-width dual-ladder generator folds (~230 point-ops/lane vs ~330);
 # BPTPU_W3H=0 falls back to the full-width w4 constant fold
 _W3H = os.environ.get("BPTPU_W3H", "1") != "0"
+# wrap-around index map: the combined-layout R walk's two table segments
+# in ONE msm_win dispatch; BPTPU_WRAPMSM=1 enables (default off until
+# validated on hardware — flip after a green stage-5 equivalence gate)
+_WRAPMSM = os.environ.get("BPTPU_WRAPMSM", "0") != "0"
 
 
 def _as_array(scalars) -> np.ndarray:
@@ -697,8 +701,15 @@ class _IppJob:
             wL = ck.grid_words(np.concatenate([scG_L, scH_L]), 2 * k)
             wR = ck.grid_words(np.concatenate([scG_R, scH_R]), 2 * k)
             accL = ck.msm_win(self.tC, wL, 2 * k, poff=k)
-            accR = ck.msm_win(self.tC, wR, k)
-            accR = ck.msm_win(self.tC, wR, k, poff=3 * k, woff=k, chain=accR)
+            if _WRAPMSM:
+                # R's two table segments (G low [0,k), H high [3k,4k))
+                # ride ONE dispatch via the wrap-around index map
+                accR = ck.msm_win(self.tC, wR, 2 * k, split=k, poff2=3 * k)
+            else:
+                accR = ck.msm_win(self.tC, wR, k)
+                accR = ck.msm_win(
+                    self.tC, wR, k, poff=3 * k, woff=k, chain=accR
+                )
             if _TIMING:
                 TIMER.add("pair_dispatch", time.time() - t0)
             return accL, accR

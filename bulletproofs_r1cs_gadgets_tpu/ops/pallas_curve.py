@@ -1078,8 +1078,12 @@ def _msm_win_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref, wacc, horner):
 def _msm_win_call(table: jnp.ndarray, words: jnp.ndarray,
                   chain: jnp.ndarray, info: jnp.ndarray, v) -> jnp.ndarray:
     """Window-accumulator MSM over v = info[0] chunks: point chunk
-    `info[1] + c` (table blocks) pairs with word chunk `info[2] + c`;
-    returns block-reduce(total) + chain, position-uniform (92, 8, 256).
+    `info[1] + c` for steps c < info[3], wrapping to `info[4] + (c -
+    info[3])` beyond (a two-segment walk in ONE dispatch — the IPP R walk's
+    split table segments ride one fixed cost; degenerate calls set
+    info[3] = v so the second branch never fires), paired with word chunk
+    `info[2] + c`; returns block-reduce(total) + chain, position-uniform
+    (92, 8, 256).
 
     The chunk grid dimension is DYNAMIC (v is traced): one Mosaic compile
     per table shape serves every segment size with zero padded steps —
@@ -1088,7 +1092,10 @@ def _msm_win_call(table: jnp.ndarray, words: jnp.ndarray,
     assert words.shape == (8, SUB, GRID_LANES)
     t_spec = pl.BlockSpec(
         (ROWS, SUB, TBL * LAN_BLOCK),
-        lambda w, j, info: (0, 0, j + info[1]),
+        lambda w, j, info: (
+            0, 0,
+            jnp.where(j < info[3], j + info[1], j - info[3] + info[4]),
+        ),
     )
     w_spec = pl.BlockSpec(
         (8, SUB, LAN_BLOCK),
