@@ -90,16 +90,22 @@ def prove_provers_devices(
     devices: list | None = None,
     backend_factory=None,
     waves: int = 1,
+    sequential: bool = False,
 ) -> list:
     """Prove B synthesized provers with whole proofs placed round-robin on
     distinct devices (batch-axis data parallelism for the fast path).
 
-    ``backend_factory()`` builds one backend per device (each keeps its own
-    generator/device caches, so uploads land on its device); the default is
-    the production :class:`..ops.pallas_backend.PallasBackend`.  Per device,
-    its group proves with the staged-fusion pipeline; groups run on
-    threads.  Returns proofs in input order (bytes identical to any other
-    schedule for provers with deterministic private rngs)."""
+    ``backend_factory(device=...)`` (or ``backend_factory()``) builds one
+    backend per device (each keeps its own generator/device caches, so
+    uploads land on its device); the default is the production
+    :class:`..ops.pallas_backend.PallasBackend`.  Per device, its group
+    proves with the staged-fusion pipeline; groups run on threads
+    (``sequential=True`` runs them one after another — e.g. on a CPU mesh
+    where concurrent per-device XLA compiles are slow).  Returns proofs in
+    input order (bytes identical to any other schedule for provers with
+    deterministic private rngs)."""
+    import inspect
+
     if devices is None:
         devices = jax.local_devices()
     if backend_factory is None:
@@ -108,9 +114,17 @@ def prove_provers_devices(
         backend_factory = PallasBackend
     ndev = max(1, min(len(devices), len(provers)))
     devices = devices[:ndev]
-    backends = [
-        DevicePinnedBackend(backend_factory(), dev) for dev in devices
-    ]
+
+    def make(dev):
+        try:
+            if "device" in inspect.signature(backend_factory).parameters:
+                return DevicePinnedBackend(backend_factory(device=dev), dev)
+        except (TypeError, ValueError):
+            pass
+        with jax.default_device(dev):
+            return DevicePinnedBackend(backend_factory(), dev)
+
+    backends = [make(dev) for dev in devices]
     groups: list[list[tuple[int, object]]] = [[] for _ in range(ndev)]
     for i, p in enumerate(provers):
         groups[i % ndev].append((i, p))
@@ -124,8 +138,9 @@ def prove_provers_devices(
         for i, proof in zip(idxs, proofs):
             out[i] = proof
 
-    if ndev == 1:
-        run(0)
+    if ndev == 1 or sequential:
+        for d in range(ndev):
+            run(d)
     else:
         with ThreadPoolExecutor(max_workers=ndev) as pool:
             list(pool.map(run, range(ndev)))
