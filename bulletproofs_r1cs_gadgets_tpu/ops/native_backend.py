@@ -86,28 +86,62 @@ def _rows(scalars) -> np.ndarray:
 
 
 class NativeBackend:
-    """Single-core C++ backend (see module docstring)."""
+    """C++ CPU backend (see module docstring).
 
-    def __init__(self, min_device_n: int = 1):
+    ``threads=1`` (default) is the measured single-core baseline proxy;
+    ``threads=N`` (or 0 = all cores minus one) parallelizes the MSMs and
+    IPP folds across cores for production CPU proving — the C calls
+    release the GIL, so a plain thread pool scales.  Proof bytes are
+    identical either way (partial-sum association only)."""
+
+    def __init__(self, min_device_n: int = 1, threads: int = 1):
         assert _NATIVE is not None, "native library unavailable"
+        import os as _os
+
         self.min_device_n = min_device_n
         self._lib = _NATIVE._lib
+        self.threads = threads if threads > 0 else max(
+            1, (_os.cpu_count() or 2) - 1
+        )
+        self._pool = None
+        if self.threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.threads)
+
+    def _split(self, n: int) -> list[tuple[int, int]]:
+        t = min(self.threads, max(1, n // 2048))
+        bounds = [n * i // t for i in range(t + 1)]
+        return [(bounds[i], bounds[i + 1]) for i in range(t)]
 
     # ------------------------------------------------------------- MSM atoms
     def _msm_raw(self, rows: np.ndarray, coords: np.ndarray
                  ) -> RistrettoPoint:
         """One Pippenger MSM over contiguous (n,4) u64 rows and (n,128)
-        uint8 coords."""
+        uint8 coords (threaded over point ranges when threads > 1)."""
         n = len(rows)
         assert coords.shape[0] == n
-        out = np.empty(128, dtype=np.uint8)
-        self._lib.ge_msm(
-            scvec._ptr(np.ascontiguousarray(rows)),
-            _ptr(np.ascontiguousarray(coords)),
-            n,
-            _ptr(out),
-        )
-        return _raw_to_pt(out)
+        rows = np.ascontiguousarray(rows)
+        coords = np.ascontiguousarray(coords)
+        spans = self._split(n) if self._pool is not None else [(0, n)]
+        if len(spans) == 1:
+            out = np.empty(128, dtype=np.uint8)
+            self._lib.ge_msm(scvec._ptr(rows), _ptr(coords), n, _ptr(out))
+            return _raw_to_pt(out)
+
+        def part(span):
+            lo, hi = span
+            out = np.empty(128, dtype=np.uint8)
+            self._lib.ge_msm(
+                scvec._ptr(rows[lo:hi]), _ptr(coords[lo:hi]), hi - lo,
+                _ptr(out),
+            )
+            return _raw_to_pt(out)
+
+        acc = RistrettoPoint.identity()
+        for pt in self._pool.map(part, spans):
+            acc = acc + pt
+        return acc
 
     def _msm_segments(self, segs) -> RistrettoPoint:
         """Sum of per-segment MSMs (avoids concatenating big gens arrays;
@@ -118,6 +152,26 @@ class NativeBackend:
                 continue
             acc = acc + self._msm_raw(rows, coords)
         return acc
+
+    def _fold_vec(self, var: bool, L, R, sL, sR, out, n: int) -> None:
+        """out[i] = sL(*)L[i] + sR(*)R[i] over raw-coords views (threaded
+        row ranges; rows are independent, so in-place out=L stays safe)."""
+        fn = self._lib.ge_fold_vec_var if var else self._lib.ge_fold_vec
+        spans = self._split(n) if self._pool is not None else [(0, n)]
+
+        def run(span):
+            lo, hi = span
+            fn(
+                _ptr(L[lo:hi]), _ptr(R[lo:hi]),
+                scvec._ptr(sL[lo:hi] if var else sL),
+                scvec._ptr(sR[lo:hi] if var else sR),
+                _ptr(out[lo:hi]), hi - lo,
+            )
+
+        if len(spans) == 1:
+            run(spans[0])
+        else:
+            list(self._pool.map(run, spans))
 
     def _scalar_mul(self, point_raw: np.ndarray, s: Scalar) -> RistrettoPoint:
         out = np.empty(128, dtype=np.uint8)
@@ -183,7 +237,7 @@ class NativeBackend:
         G = _gens_raw_u8(gens_share.G_raw(n)).copy()
         H = _gens_raw_u8(gens_share.H_raw(n)).copy()
         q_raw = _pts_to_raw([Q])
-        lib = self._lib
+
         L_vec: list[bytes] = []
         R_vec: list[bytes] = []
         first = True
@@ -222,26 +276,18 @@ class NativeBackend:
                 fG_R = scvec.scale(GF[n : 2 * n], u)
                 fH_L = scvec.scale(HF[:n], u)
                 fH_R = scvec.scale(HF[n : 2 * n], u_inv)
-                lib.ge_fold_vec_var(
-                    _ptr(G[:n]), _ptr(G[n : 2 * n]),
-                    scvec._ptr(fG_L), scvec._ptr(fG_R), _ptr(G[:n]), n,
-                )
-                lib.ge_fold_vec_var(
-                    _ptr(H[:n]), _ptr(H[n : 2 * n]),
-                    scvec._ptr(fH_L), scvec._ptr(fH_R), _ptr(H[:n]), n,
-                )
+                self._fold_vec(True, G[:n], G[n : 2 * n], fG_L, fG_R,
+                               G[:n], n)
+                self._fold_vec(True, H[:n], H[n : 2 * n], fH_L, fH_R,
+                               H[:n], n)
                 first = False
             else:
                 u_row = scvec.from_scalars([u])
                 ui_row = scvec.from_scalars([u_inv])
-                lib.ge_fold_vec(
-                    _ptr(G[:n]), _ptr(G[n : 2 * n]),
-                    scvec._ptr(ui_row), scvec._ptr(u_row), _ptr(G[:n]), n,
-                )
-                lib.ge_fold_vec(
-                    _ptr(H[:n]), _ptr(H[n : 2 * n]),
-                    scvec._ptr(u_row), scvec._ptr(ui_row), _ptr(H[:n]), n,
-                )
+                self._fold_vec(False, G[:n], G[n : 2 * n], ui_row, u_row,
+                               G[:n], n)
+                self._fold_vec(False, H[:n], H[n : 2 * n], u_row, ui_row,
+                               H[:n], n)
         return InnerProductProof(
             L_vec, R_vec,
             scvec.row_to_scalar(a[0]), scvec.row_to_scalar(b[0]),

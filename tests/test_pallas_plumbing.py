@@ -74,8 +74,13 @@ def fake_kernels(monkeypatch, request):
         assert tc in (pc.GRID_CHUNKS, pc.GRID_CHUNKS // 2)
         assert words.shape == (8, pc.SUB, pc.GRID_LANES)
         assert chain.shape == (pc.ROWS, pc.SUB, pc.LAN_BLOCK)
-        iv, poff, woff = (int(x) for x in info)
-        assert iv == v and 1 <= v and 0 <= poff and poff + v <= tc
+        iv, poff, woff, split, poff2 = (int(x) for x in info)
+        assert iv == v and 1 <= v
+        # two-segment wrap-around contract: steps [0, split) at poff,
+        # steps [split, v) at poff2 (degenerate calls set split=v)
+        assert 1 <= split <= v
+        assert 0 <= poff and poff + split <= tc
+        assert 0 <= poff2 and poff2 + (v - split) <= tc
         assert 0 <= woff and woff + v <= pc.GRID_CHUNKS
         return chain
 
