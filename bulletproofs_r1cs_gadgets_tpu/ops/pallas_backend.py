@@ -69,6 +69,11 @@ _W3H = os.environ.get("BPTPU_W3H", "1") != "0"
 # in ONE msm_win dispatch; BPTPU_WRAPMSM=1 enables (default off until
 # validated on hardware — flip after a green stage-5 equivalence gate)
 _WRAPMSM = os.environ.get("BPTPU_WRAPMSM", "0") != "0"
+# table tiering: drop to the half-capacity multiple-table shape once the
+# combined layout's valid span fits (386 MB instead of 772 MB per job from
+# round 3 on — lifts the batched-HBM ceiling); costs one extra Mosaic
+# compile pair per process.  Default off until validated on hardware.
+_TBLTIER = os.environ.get("BPTPU_TBLTIER", "0") != "0"
 
 
 def _as_array(scalars) -> np.ndarray:
@@ -582,6 +587,7 @@ class _IppJob:
         # combined G|H capacity array + table (winmsm rounds >= 2)
         self.C_big = None
         self.tC = None
+        self._tC_half = False
         # frozen-tail state (None until both sides fit half a chunk)
         self.fz = None
         self.fzS = 0
@@ -878,9 +884,10 @@ class _IppJob:
             else:
                 self.C_big = ck.fold_big_c_comb(self.C_big, k, rbp, cG, cH)
             if k >= 2:
-                self.tC = ck.table_big(
-                    self.C_big, 2 * k, half=False, old=self.tC
-                )
+                half = _TBLTIER and 2 * k <= ck.HALF_CHUNKS
+                old = self.tC if self._tC_half == half else None
+                self.tC = ck.table_big(self.C_big, 2 * k, half=half, old=old)
+                self._tC_half = half
             else:
                 # sides are single chunks now: drop to the tail path
                 self.G = [ck.big_chunk(self.C_big, 0)]
@@ -905,7 +912,9 @@ class _IppJob:
                 self.C_big = ck.combine_big(gA, gB, k)
                 self.G_big = self.H_big = None
                 self.tG = self.tH = None
-                self.tC = ck.table_big(self.C_big, 2 * k, half=False)
+                half1 = _TBLTIER and 2 * k <= ck.HALF_CHUNKS
+                self.tC = ck.table_big(self.C_big, 2 * k, half=half1)
+                self._tC_half = half1
             else:
                 self.G_big = ck.fold_big_c(
                     self.G_big, k, rbp, cG[0], cG[1], donate=self._owns_big
