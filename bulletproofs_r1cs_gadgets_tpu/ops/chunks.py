@@ -590,14 +590,10 @@ def msm_win(table: jnp.ndarray, words_big: jnp.ndarray, valid: int,
 _frozen_pack_fns: dict = {}
 
 
-def frozen_pack(g_chunk: jnp.ndarray, h_chunk: jnp.ndarray,
-                q_chunk: jnp.ndarray, S: int) -> jnp.ndarray:
-    """Packed frozen-tail point array for the late IPP rounds: lanes
-    [G(S) | H(S) | Q | identity...] in ONE chunk, duplicated into the
-    first two chunks of a capacity array so ``msm_grid_pair`` with
-    valid_half=1 walks the L words over chunk 0 and the R words over
-    chunk 1 (see pallas_backend frozen-tail helpers).  Requires
-    2*S + 1 <= CHUNK; jitted once per S."""
+def frozen_pack_chunk(g_chunk: jnp.ndarray, h_chunk: jnp.ndarray,
+                      q_chunk: jnp.ndarray, S: int) -> jnp.ndarray:
+    """ONE packed frozen-tail chunk: lanes [G(S) | H(S) | Q | identity...]
+    (92, 8, 256).  Requires 2*S + 1 <= CHUNK; jitted once per S."""
     assert 2 * S + 1 <= CHUNK
     fn = _frozen_pack_fns.get(S)
     if fn is None:
@@ -608,17 +604,101 @@ def frozen_pack(g_chunk: jnp.ndarray, h_chunk: jnp.ndarray,
             gf = g.reshape(ROWS, CHUNK)[:, :S]
             hf = h.reshape(ROWS, CHUNK)[:, :S]
             qf = q.reshape(ROWS, CHUNK)[:, :1]
-            packed = jnp.concatenate(
+            return jnp.concatenate(
                 [gf, hf, qf, _IDENT_FLAT[:, :pad]], axis=1
             ).reshape(ROWS, pc.SUB, pc.LAN_BLOCK)
-            two = jnp.concatenate([packed, packed], axis=2)
-            return jnp.pad(
-                two,
-                ((0, 0), (0, 0), (0, GRID_LANES - 2 * pc.LAN_BLOCK)),
-            )
 
         _frozen_pack_fns[S] = fn
     return fn(g_chunk, h_chunk, q_chunk)
+
+
+@jax.jit
+def _frozen_dup(packed: jnp.ndarray) -> jnp.ndarray:
+    two = jnp.concatenate([packed, packed], axis=2)
+    return jnp.pad(
+        two, ((0, 0), (0, 0), (0, GRID_LANES - 2 * pc.LAN_BLOCK))
+    )
+
+
+frozen_pack_dup = _frozen_dup
+
+
+def frozen_pack(g_chunk: jnp.ndarray, h_chunk: jnp.ndarray,
+                q_chunk: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Packed frozen-tail point array for the late IPP rounds: the
+    :func:`frozen_pack_chunk` chunk duplicated into the first two chunks
+    of a capacity array so ``msm_grid_pair`` with valid_half=1 walks the
+    L words over chunk 0 and the R words over chunk 1 (see pallas_backend
+    frozen-tail helpers)."""
+    return _frozen_dup(frozen_pack_chunk(g_chunk, h_chunk, q_chunk, S))
+
+
+_FLOTILLA_CAT_FNS: dict = {}
+
+
+def flotilla_pack(packed_chunks: list[jnp.ndarray]) -> jnp.ndarray:
+    """B frozen packed chunks -> ONE capacity array with job j's chunk
+    duplicated at chunks 2j and 2j+1 (L words ride 2j, R words 2j+1 —
+    the layout of :func:`msm_lane` + ``frozen_pair_words`` rows).  Jitted
+    once per B."""
+    B = len(packed_chunks)
+    assert 2 * B <= GRID_CHUNKS
+    fn = _FLOTILLA_CAT_FNS.get(B)
+    if fn is None:
+        pad = GRID_LANES - 2 * B * pc.LAN_BLOCK
+
+        @jax.jit
+        def fn(*chunks):
+            cat = jnp.concatenate(
+                [c for ch in chunks for c in (ch, ch)], axis=2
+            )
+            return jnp.pad(cat, ((0, 0), (0, 0), (0, pad)))
+
+        _FLOTILLA_CAT_FNS[B] = fn
+    return fn(*packed_chunks)
+
+
+def flotilla_words(rows_pairs: list[tuple[np.ndarray, np.ndarray]]
+                   ) -> jnp.ndarray:
+    """B (rowsL, rowsR) composite-scalar row pairs -> capacity word array
+    with job j's L words in chunk 2j and R words in chunk 2j+1."""
+    B = len(rows_pairs)
+    arr = np.zeros((2 * B * CHUNK, 4), np.uint64)
+    for j, (rowsL, rowsR) in enumerate(rows_pairs):
+        arr[2 * j * CHUNK : 2 * j * CHUNK + rowsL.shape[0]] = rowsL
+        arr[(2 * j + 1) * CHUNK : (2 * j + 1) * CHUNK + rowsR.shape[0]] = (
+            rowsR
+        )
+    return grid_words(arr, 2 * B)
+
+
+def msm_lane(points_big: jnp.ndarray, words_big: jnp.ndarray,
+             valid: int) -> jnp.ndarray:
+    """`valid` INDEPENDENT per-chunk MSM totals in one dispatch; chunk
+    j's total lands at lattice position j of the returned (92, 8, 256)
+    block (fetch with :func:`fetch_lane_points`)."""
+    assert 1 <= valid <= GRID_CHUNKS
+    return pc.msm_lane_dyn(points_big, words_big, _info(valid), valid)
+
+
+def fetch_lane_points(block: jnp.ndarray, count: int
+                      ) -> list[RistrettoPoint]:
+    """ONE host sync decoding `count` per-position totals of an
+    :func:`msm_lane` output block (position j at sublane j//256, lane
+    j%256)."""
+    arr = np.asarray(block)  # (92, 8, 256)
+    out = []
+    for j in range(count):
+        c = arr[:, j // pc.LAN_BLOCK, j % pc.LAN_BLOCK].reshape(4, STORE)
+        out.append(
+            RistrettoPoint(
+                limbs_to_int(c[0]) % P,
+                limbs_to_int(c[1]) % P,
+                limbs_to_int(c[2]) % P,
+                limbs_to_int(c[3]) % P,
+            )
+        )
+    return out
 
 
 def frozen_pair_words(rowsL: np.ndarray, rowsR: np.ndarray) -> jnp.ndarray:

@@ -74,6 +74,11 @@ _WRAPMSM = os.environ.get("BPTPU_WRAPMSM", "0") != "0"
 # round 3 on — lifts the batched-HBM ceiling); costs one extra Mosaic
 # compile pair per process.  Default off until validated on hardware.
 _TBLTIER = os.environ.get("BPTPU_TBLTIER", "0") != "0"
+# frozen-tail flotilla: once every active job of a batch is frozen, pack
+# the wave's [G|H|Q] chunks into ONE capacity array and compute all 2B
+# L/R points per round in ONE msm_lane dispatch instead of B pair
+# dispatches (~19 ms each).  Default off until validated on hardware.
+_FLOTILLA = os.environ.get("BPTPU_FLOTILLA", "0") != "0"
 
 
 def _as_array(scalars) -> np.ndarray:
@@ -400,11 +405,51 @@ class PallasBackend:
             pool = ThreadPoolExecutor(
                 max_workers=min(len(states), max(1, (os.cpu_count() or 4) - 1))
             )
+        flot_pts = None
+        flot_ids: tuple = ()
         try:
             while True:
                 active = [(idx, s) for idx, s in states if s.n > 1]
                 if not active:
                     break
+                if (
+                    _FLOTILLA and len(active) > 1
+                    and all(s.frozen for _, s in active)
+                    and 2 * len(active) <= ck.GRID_CHUNKS
+                ):
+                    # flotilla round: ONE msm_lane dispatch computes every
+                    # job's L and R (job j's words at chunks 2j / 2j+1 of
+                    # the shared pack) — B pair dispatches become one.
+                    ids = tuple(id(s) for _, s in active)
+                    if ids != flot_ids:
+                        flot_pts = ck.flotilla_pack(
+                            [s.fz_chunk for _, s in active]
+                        )
+                        flot_ids = ids
+                    if pool is not None:
+                        rows = list(
+                            pool.map(lambda a: a[1].frozen_rows(), active)
+                        )
+                    else:
+                        rows = [s.frozen_rows() for _, s in active]
+                    block = ck.msm_lane(
+                        flot_pts, ck.flotilla_words(rows), 2 * len(active)
+                    )
+                    t0 = time.time() if _TIMING else 0
+                    pts = ck.fetch_lane_points(block, 2 * len(active))
+                    if _TIMING:
+                        TIMER.add("pair_sync", time.time() - t0)
+                    if pool is not None:
+                        list(pool.map(
+                            lambda a: a[1][1].round_finish(
+                                pts[2 * a[0]], pts[2 * a[0] + 1]
+                            ),
+                            enumerate(active),
+                        ))
+                    else:
+                        for j, (_, s) in enumerate(active):
+                            s.round_finish(pts[2 * j], pts[2 * j + 1])
+                    continue
                 if pool is not None:
                     pairs = list(
                         pool.map(lambda a: a[1].round_dispatch(), active)
@@ -588,8 +633,10 @@ class _IppJob:
         self.C_big = None
         self.tC = None
         self._tC_half = False
-        # frozen-tail state (None until both sides fit half a chunk)
-        self.fz = None
+        # frozen-tail state (False until both sides fit half a chunk)
+        self.frozen = False
+        self.fz = None  # per-job duplicated capacity array (lazy)
+        self.fz_chunk = None  # packed [G|H|Q] chunk (flotilla input)
         self.fzS = 0
         self.FFG = self.FFH = None
         if padded_n <= FROZEN_MAX_SIDE:
@@ -635,12 +682,31 @@ class _IppJob:
     def _freeze(self, g_chunk, h_chunk, S: int) -> None:
         """Enter frozen-tail mode with side size S (points packed once;
         factor vectors start at one — callers absorb any skipped fold via
-        :func:`frozen_fold_update` afterwards)."""
-        self.fz = ck.frozen_pack(g_chunk, h_chunk, self.qc, S)
+        :func:`frozen_fold_update` afterwards).  The duplicated per-job
+        capacity array (`fz`) is built lazily: flotilla rounds
+        (`ipp_create_batch`) walk the shared flotilla array instead."""
+        self.fz_chunk = ck.frozen_pack_chunk(g_chunk, h_chunk, self.qc, S)
+        self.fz = None
+        self.frozen = True
         self.fzS = S
         ones = _ones_rows(S).astype(np.uint64)
         self.FFG = ones.copy()
         self.FFH = ones.copy()
+
+    def frozen_rows(self):
+        """One frozen round's host state advance; returns the composite
+        (rowsL, rowsR) for this round's walk (flotilla path — the caller
+        packs many jobs' rows into one dispatch)."""
+        scG_L, scH_L, scG_R, scH_R, _ = self._round_scalars()
+        t0 = time.time() if _TIMING else 0
+        self._host_q = False
+        rows = frozen_walk_rows(
+            self.fzS, self.n, scG_L, scH_L, scG_R, scH_R,
+            self.FFG, self.FFH, self.c_L, self.c_R,
+        )
+        if _TIMING:
+            TIMER.add("pair_dispatch", time.time() - t0)
+        return rows
 
     def _to_chunks_if_tail(self):
         """Drop from capacity-array mode to the single-chunk tail path
@@ -654,10 +720,9 @@ class _IppJob:
             if _WINMSM and getattr(self, "_tbl_owned", False):
                 self.tG = self.tH = None
 
-    def round_dispatch(self):
-        """Halve n, compute this round's scalar operands on host and queue
-        the L/R MSM chunk chains; returns (accL, accR) device accumulators
-        (NO sync)."""
+    def _round_scalars(self):
+        """Halve n and compute this round's host scalar operands (shared
+        head of :meth:`round_dispatch` / :meth:`frozen_rows`)."""
         self.n //= 2
         n = self.n
         t0 = time.time() if _TIMING else 0
@@ -677,14 +742,24 @@ class _IppJob:
         nzR = max(0, min(a_nz - n, n))
         if _TIMING:
             TIMER.add("ipp_host_scalars", time.time() - t0)
-            t0 = time.time()
-        if self.fz is not None:
+        return scG_L, scH_L, scG_R, scH_R, nzR
+
+    def round_dispatch(self):
+        """Halve n, compute this round's scalar operands on host and queue
+        the L/R MSM chunk chains; returns (accL, accR) device accumulators
+        (NO sync)."""
+        scG_L, scH_L, scG_R, scH_R, nzR = self._round_scalars()
+        n = self.n
+        t0 = time.time() if _TIMING else 0
+        if self.frozen:
             # frozen tail: ONE pair dispatch for L and R (Q lane included)
             self._host_q = False
             rowsL, rowsR = frozen_walk_rows(
                 self.fzS, n, scG_L, scH_L, scG_R, scH_R,
                 self.FFG, self.FFH, self.c_L, self.c_R,
             )
+            if self.fz is None:
+                self.fz = ck.frozen_pack_dup(self.fz_chunk)
             pair = ck.msm_grid_pair(
                 self.fz, ck.frozen_pair_words(rowsL, rowsR), 1
             )
@@ -813,7 +888,7 @@ class _IppJob:
         # half-width splits apply on the grid fold paths (combined rounds
         # and the round-1 transition); beta^-1 folds into the factor
         # vectors, so the per-lane factor arrays stay exact
-        use_w3h = _W3H and self.fz is None and n >= CHUNK and (
+        use_w3h = _W3H and not self.frozen and n >= CHUNK and (
             self.C_big is not None
             or (self.G_big is not None and _WINMSM and n >= 2 * CHUNK)
         )
@@ -854,7 +929,7 @@ class _IppJob:
         if _TIMING:
             TIMER.add("ipp_host_folds", time.time() - t0)
             t0 = time.time()
-        if self.fz is not None:
+        if self.frozen:
             # frozen tail: the fold is absorbed into the factor vectors
             self.FFG = frozen_fold_update(self.FFG, n, rbp, cG[0], cG[1])
             self.FFH = frozen_fold_update(self.FFH, n, rbp, cH[0], cH[1])

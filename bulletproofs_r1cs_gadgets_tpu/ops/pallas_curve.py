@@ -1129,6 +1129,59 @@ def _msm_win_call(table: jnp.ndarray, words: jnp.ndarray,
 msm_win_dyn = jax.jit(_msm_win_call)
 
 
+# ----------------------------------------------- per-chunk lane totals MSM
+# The frozen-tail "flotilla": a batched IPP's late rounds each cost one
+# 2-chunk pair dispatch PER JOB (~19 ms of mostly fixed cost).  This kernel
+# instead walks v chunks of a capacity array in ONE dispatch, computing an
+# INDEPENDENT block-reduced MSM total per chunk and writing it to lattice
+# position j of a single (92, 8, 256) output block via a where-mask (no
+# dynamic stores) — so one dispatch serves a whole wave's L/R points:
+# chunk 2j carries job j's L words, chunk 2j+1 its R words.
+def _msm_lane_kernel(info_ref, p_ref, w_ref, o_ref):
+    j = pl.program_id(0)
+    v = info_ref[0]
+    zeros = jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32)
+
+    @pl.when(j < v)
+    def _step():
+        @pl.when(j == 0)
+        def _init():
+            _store_point(o_ref, _identity_point(zeros))
+
+        total = _ladder_w4(_load_point(p_ref), w_ref, True)
+        sub_i = lax.broadcasted_iota(jnp.int32, zeros.shape, 1)
+        lan_i = lax.broadcasted_iota(jnp.int32, zeros.shape, 2)
+        mask = (sub_i == j // LAN_BLOCK) & (lan_i == j % LAN_BLOCK)
+        cur = _load_point(o_ref)
+        _store_point(
+            o_ref,
+            tuple(jnp.where(mask, t, c) for t, c in zip(total, cur)),
+        )
+
+
+def _msm_lane_call(points: jnp.ndarray, words: jnp.ndarray,
+                   info: jnp.ndarray, v) -> jnp.ndarray:
+    """v independent per-chunk MSM totals in one dispatch; total of chunk
+    j lands at lattice position j (sublane j//256, lane j%256) of the
+    (92, 8, 256) output block.  Dynamic grid like the other grid kernels:
+    one compiled shape serves every wave size."""
+    assert points.shape == (ROWS, SUB, GRID_LANES)
+    assert words.shape == (8, SUB, GRID_LANES)
+    return pl.pallas_call(
+        _msm_lane_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(v,),
+            in_specs=[_grid_pspec(), _grid_wspec()],
+            out_specs=_grid_fixed_pspec(),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, LAN_BLOCK), jnp.int32),
+    )(info, points, words)
+
+
+msm_lane_dyn = jax.jit(_msm_lane_call)
+
+
 @jax.jit
 def smul_lanes(points: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
     """Per-lane scalar_i * P_i (no reduction)."""

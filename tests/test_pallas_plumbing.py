@@ -30,6 +30,7 @@ from bulletproofs_r1cs_gadgets_tpu import (
     Transcript,
     Verifier,
 )
+from bulletproofs_r1cs_gadgets_tpu.core import scvec
 from bulletproofs_r1cs_gadgets_tpu.core.errors import VerificationError
 from bulletproofs_r1cs_gadgets_tpu.core.ristretto import RistrettoPoint
 from bulletproofs_r1cs_gadgets_tpu.ops import chunks as ck
@@ -311,3 +312,83 @@ def test_signed_digit_words_decode():
                 d = nib - 16 if nib >= 8 else nib
                 total += d << (4 * (8 * j + t))
         assert total == scalar
+
+
+def test_flotilla_frozen_rounds(fake_kernels, gens, monkeypatch):
+    """With BPTPU_FLOTILLA, a batch whose jobs are all frozen drives ONE
+    msm_lane dispatch per round (shared pack) instead of B pair
+    dispatches; proof flow completes and msm_grid_pair is never used."""
+    from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
+    from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
+
+    lane_calls = []
+
+    def msm_lane_dyn(points, words, info, v):
+        lane_calls.append(int(info[0]))
+        assert points.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+        assert words.shape == (8, pc.SUB, pc.GRID_LANES)
+        return jnp.asarray(ck._IDENT_CHUNK_NP)
+
+    monkeypatch.setattr(pc, "msm_lane_dyn", msm_lane_dyn)
+    monkeypatch.setattr(pb, "_FLOTILLA", True)
+
+    pc_gens, bp_gens = gens
+    provers = []
+    for _ in range(3):
+        p = Prover(pc_gens, Transcript(b"plumb"))
+        _, v = p.commit(Scalar(5), Scalar(7))
+        _, v2 = p.commit(Scalar(3), Scalar(11))
+        _build(p, (v, v2), 300)  # padded 512 <= FROZEN_MAX_SIDE
+        provers.append(p)
+    before_pair = fake_kernels["msm_grid_pair"]
+    proofs = prove_provers(provers, bp_gens, backend=PallasBackend())
+    assert len(proofs) == 3
+    # padded_n=512 -> 9 rounds, each ONE flotilla dispatch of 2B=6 chunks
+    assert lane_calls == [6] * 9
+    assert fake_kernels["msm_grid_pair"] == before_pair  # no per-job pairs
+
+
+def test_flotilla_words_layout():
+    """flotilla_words chunk 2j/2j+1 must equal the per-job
+    frozen_pair_words chunks 0/1 (same w4 encode, same offsets)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pairs = []
+    for _ in range(2):
+        rowsL = scvec.from_wide_bytes(rng.bytes(64 * 33))
+        rowsR = scvec.from_wide_bytes(rng.bytes(64 * 33))
+        pairs.append((rowsL, rowsR))
+    flot = np.asarray(ck.flotilla_words(pairs))
+    for j, (rowsL, rowsR) in enumerate(pairs):
+        single = np.asarray(ck.frozen_pair_words(rowsL, rowsR))
+        for c_off in (0, 1):
+            a = flot[:, :, (2 * j + c_off) * pc.LAN_BLOCK
+                     : (2 * j + c_off + 1) * pc.LAN_BLOCK]
+            b = single[:, :, c_off * pc.LAN_BLOCK
+                       : (c_off + 1) * pc.LAN_BLOCK]
+            assert np.array_equal(a, b), (j, c_off)
+
+
+def test_flotilla_pack_and_fetch_roundtrip():
+    """flotilla_pack duplicates each packed chunk at 2j/2j+1, and
+    fetch_lane_points decodes lattice positions of an msm_lane block."""
+    import numpy as np
+
+    from bulletproofs_r1cs_gadgets_tpu.core.scalar import Scalar as Sc
+
+    B = PedersenGens.default().B
+    pts = [B.scalar_mul(Sc(i + 2)) for i in range(3)]
+    chunks = ck.points_to_chunks(pts)  # 1 chunk, pts at lanes 0..2
+    packed = ck.flotilla_pack([chunks[0], chunks[0]])
+    arr = np.asarray(packed)
+    for c in range(4):
+        assert np.array_equal(
+            arr[:, :, c * pc.LAN_BLOCK : (c + 1) * pc.LAN_BLOCK],
+            np.asarray(chunks[0]),
+        )
+    # fetch: positions of the raw chunk decode to the original points
+    # (lattice position j = sublane j//LAN, lane j%LAN — matches the
+    # (ROWS, SUB, LAN) flattening of points_to_chunks)
+    got = ck.fetch_lane_points(chunks[0], 3)
+    assert got == pts
