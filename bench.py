@@ -473,18 +473,56 @@ def stage5_equiv_gate(backend):
     except Exception as e:
         log(f"[stage5] native path unavailable: {e}")
 
-    saved = (pbm._WINMSM, pbm._W3H)
-    combos = [(True, True), (True, False), (False, True), (False, False)]
+    # flag combos: every kernel path (WINMSM/W3H) plus the round-4
+    # candidates (wrap-around R walk, table tiering, frozen flotilla —
+    # flotilla needs a batch, so it is exercised through prove_provers)
+    saved = (pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER)
+    combos = [
+        ("pallas(default)", (True, True, pbm._WRAPMSM, pbm._TBLTIER)),
+        ("pallas(W3H=0)", (True, False, False, False)),
+        ("pallas(WINMSM=0)", (False, True, False, False)),
+        ("pallas(WINMSM=0,W3H=0)", (False, False, False, False)),
+        ("pallas(WRAPMSM=1,TBLTIER=1)", (True, True, True, True)),
+    ]
     try:
-        for winmsm, w3h in combos:
-            pbm._WINMSM, pbm._W3H = winmsm, w3h
+        for tag, flags in combos:
+            (pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER) = flags
             t0 = time.time()
             proof, comms = prove_with(backend)
-            tag = f"pallas(WINMSM={int(winmsm)},W3H={int(w3h)})"
             results[tag] = proof.to_bytes()
             log(f"[stage5] {tag} proof in {time.time()-t0:.1f}s")
     finally:
-        pbm._WINMSM, pbm._W3H = saved
+        pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER = saved
+
+    # flotilla: batch of 3 frozen-from-round-1 proofs through
+    # prove_provers under BPTPU_FLOTILLA — the batch path must match too
+    saved_f = pbm._FLOTILLA
+    try:
+        from bulletproofs_r1cs_gadgets_tpu.parallel.batch import (
+            prove_provers,
+        )
+
+        for flot, tag in ((False, "batch(FLOTILLA=0)"),
+                          (True, "batch(FLOTILLA=1)")):
+            pbm._FLOTILLA = flot
+            provers = []
+            for _ in range(3):
+                prover = Prover(
+                    pc_gens, Transcript(b"VSMT"),
+                    rng=np.random.RandomState(42),
+                )
+                comms = comp.commit_prover(
+                    prover, k, bits, nodes, rng=np.random.RandomState(7)
+                )
+                prover.load_compiled(tape, aLw, aRw, aOw)
+                provers.append(prover)
+            t0 = time.time()
+            proofs = prove_provers(provers, bp_gens, backend=backend)
+            assert len({p.to_bytes() for p in proofs}) == 1
+            results[tag] = proofs[0].to_bytes()
+            log(f"[stage5] {tag} 3 proofs in {time.time()-t0:.1f}s")
+    finally:
+        pbm._FLOTILLA = saved_f
 
     blobs = set(results.values())
     if len(blobs) != 1:
