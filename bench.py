@@ -555,6 +555,9 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
 
     B = int(os.environ.get("BENCH_BATCH", 12))
     waves = int(os.environ.get("BENCH_WAVES", max(1, B // 4)))
+    # max proofs with live device state (HBM cap, PERF_NOTES accounting);
+    # waves beyond the cap queue behind retiring ones
+    inflight = int(os.environ.get("BENCH_INFLIGHT", 0)) or None
     pc_gens, bp_gens, comp, tape = (
         ctx["pc_gens"], ctx["bp_gens"], ctx["comp"], ctx["tape"]
     )
@@ -583,12 +586,14 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
                 p.restore(s)
         t0 = time.time()
         proofs = prove_provers(
-            [p for p, _ in provers], bp_gens, backend=backend, waves=waves
+            [p for p, _ in provers], bp_gens, backend=backend, waves=waves,
+            inflight=inflight,
         )
         rep_dt = time.time() - t0
         dt = rep_dt if dt is None else min(dt, rep_dt)
         log(
-            f"[stage4] batch prove B={B} waves={waves} pass {rep}: "
+            f"[stage4] batch prove B={B} waves={waves} "
+            f"inflight={inflight or B} pass {rep}: "
             f"{rep_dt:.1f}s total, {rep_dt/B:.2f}s/proof "
             f"({serial_dt/(rep_dt/B):.2f}x serial)"
         )

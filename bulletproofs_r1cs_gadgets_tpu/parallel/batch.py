@@ -41,6 +41,7 @@ class BatchResult:
 def prove_provers(
     provers: list[Prover], bp_gens: BulletproofGens, backend=None,
     host_workers: int | None = None, waves: int = 1,
+    inflight: int | None = None,
 ) -> list[R1CSProof]:
     """Prove B fully-synthesized provers with staged device fusion.
 
@@ -56,7 +57,14 @@ def prove_provers(
     staged pipelines run on separate threads: while one wave blocks on a
     device sync the other waves' host stages (and queued device work)
     proceed, hiding sync latency and host/device idle gaps.  Proof bytes
-    are unchanged (grouping only interleaves independent pipelines)."""
+    are unchanged (grouping only interleaves independent pipelines).
+
+    ``inflight`` caps the number of proofs whose device state is live at
+    once (HBM scheduling: each in-flight VSMT-2-class IPP job owns capacity
+    arrays + multiple tables, ~0.5-0.9 GB — PERF_NOTES 'HBM accounting').
+    Waves beyond the cap queue and start as earlier waves retire, so B can
+    exceed the chip's in-flight ceiling without OOM.  Default: no cap
+    (every wave concurrent, the round-3 behavior)."""
     if backend is None or not hasattr(backend, "phase_commitments_batch"):
         return [p.prove(bp_gens, backend=backend) for p in provers]
     if waves > 1 and len(provers) >= 2 * waves:
@@ -64,7 +72,10 @@ def prove_provers(
 
         k = -(-len(provers) // waves)
         groups = [provers[i : i + k] for i in range(0, len(provers), k)]
-        with ThreadPoolExecutor(max_workers=len(groups)) as pool:
+        workers = len(groups)
+        if inflight is not None:
+            workers = max(1, min(workers, inflight // k))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             outs = list(pool.map(
                 lambda g: prove_provers(
                     g, bp_gens, backend=backend, host_workers=host_workers

@@ -294,3 +294,46 @@ def test_prove_provers_waves_roundtrip():
         _, _, o = ve.multiply(var_p, var_q)
         constrain_lc_with_scalar(ve, o, r)
         ve.verify(proof, PC, BP)
+
+
+def test_prove_provers_inflight_cap_roundtrip():
+    """inflight caps concurrent wave groups (HBM scheduling): with 4
+    proofs, waves=2 and inflight=2 the two groups run sequentially; proofs
+    must be byte-identical to the uncapped run and all verify."""
+    import numpy as np
+
+    from bulletproofs_r1cs_gadgets_tpu import Prover, Transcript, Verifier
+    from bulletproofs_r1cs_gadgets_tpu.ops.backend import DeviceBackend
+    from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
+
+    vals = [(Scalar(3), Scalar(5)), (Scalar(7), Scalar(11)),
+            (Scalar(13), Scalar(17)), (Scalar(19), Scalar(23))]
+
+    def build():
+        provers, pubs = [], []
+        for i, (p_w, q_w) in enumerate(vals):
+            pr = Prover(PC, Transcript(b"InflightCap"),
+                        rng=np.random.RandomState(100 + i))
+            com_p, var_p = pr.commit(p_w, Scalar(1234 + i))
+            com_q, var_q = pr.commit(q_w, Scalar(5678 + i))
+            _, _, o = pr.multiply(var_p, var_q)
+            constrain_lc_with_scalar(pr, o, p_w * q_w)
+            provers.append(pr)
+            pubs.append((com_p, com_q, p_w * q_w))
+        return provers, pubs
+
+    be = DeviceBackend(min_device_n=1 << 30)
+    provers, pubs = build()
+    capped = prove_provers(provers, BP, backend=be, waves=2, inflight=2)
+    provers2, _ = build()
+    uncapped = prove_provers(provers2, BP, backend=be, waves=2)
+    assert [p.to_bytes() for p in capped] == [
+        p.to_bytes() for p in uncapped
+    ]
+    for proof, (com_p, com_q, r) in zip(capped, pubs):
+        ve = Verifier(Transcript(b"InflightCap"))
+        var_p = ve.commit(com_p)
+        var_q = ve.commit(com_q)
+        _, _, o = ve.multiply(var_p, var_q)
+        constrain_lc_with_scalar(ve, o, r)
+        ve.verify(proof, PC, BP)
