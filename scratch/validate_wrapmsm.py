@@ -31,13 +31,16 @@ def main():
     table = backend._gens_table(gens.share(0), n, "G")
     rows = scvec.from_wide_bytes(np.random.RandomState(5).bytes(64 * n))
     words = ck.grid_words(rows, 8)
-    # wrap walk: steps 0-3 -> table chunks [0,4), steps 4-7 -> chunks [4,8)
-    # (split at 4 with poff2=4 == contiguous, sanity) then a REAL split
-    for split, poff, poff2 in ((4, 0, 4), (3, 0, 5), (2, 1, 6)):
-        valid = 8 - max(0, poff + split - 8) - 0
-        valid = 8  # walk all 8 word chunks
-        if poff2 + (valid - split) > 8 or poff + split > 8:
-            continue
+    # (valid, split, poff, poff2) — every table chunk touched must be
+    # INITIALIZED (< 8): table_big only writes [0, n_chunks) of the
+    # 128-chunk capacity array, and on garbage limbs the Horner /
+    # associativity identities the check relies on do not hold.
+    # (8,4,4,0) is a true wrap (high segment first); (4,2,0,6) mirrors
+    # production's R walk (split=k, poff2=3k with 4k=8 chunks).
+    for valid, split, poff, poff2 in (
+        (8, 4, 4, 0), (8, 2, 6, 0), (6, 3, 0, 5), (4, 2, 0, 6),
+    ):
+        assert poff + split <= 8 and poff2 + (valid - split) <= 8
         a = ck.fetch_points([
             ck.msm_win(table, words, valid, poff=poff, split=split,
                        poff2=poff2)
@@ -47,8 +50,8 @@ def main():
                            woff=split, chain=b_acc)
         b = ck.fetch_points([b_acc])[0]
         ok = a == b
-        print(f"kernel split={split} poff={poff} poff2={poff2}: "
-              f"{'OK' if ok else 'MISMATCH'}")
+        print(f"kernel valid={valid} split={split} poff={poff} "
+              f"poff2={poff2}: {'OK' if ok else 'MISMATCH'}")
         if not ok:
             sys.exit(1)
 
