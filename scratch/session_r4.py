@@ -121,7 +121,7 @@ def main():
         p.load_compiled(tape, ctx["aL"], ctx["aR"], ctx["aO"])
         return p
 
-    Bmax = max(b for b, _ in sweep)
+    Bmax = max(pt[0] for pt in sweep)
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=3) as pool:
         provers = list(pool.map(build, range(Bmax)))
@@ -162,12 +162,18 @@ def main():
                 fl["w"], fl["t"], fl["f"]
             )
             log(f"-- combo {tag}")
-            ab[tag] = run_batch(B0, w0, reps=2)
+            try:
+                ab[tag] = run_batch(B0, w0, reps=2)
+            except Exception as e:
+                log(f"combo {tag} FAILED: {type(e).__name__}: {e}")
+                continue
             record(f"batch_{B0}x{w0}_{tag}_s", round(ab[tag], 2))
     finally:
         pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = saved
 
     # pick the fastest combo for the B sweep
+    if not ab:
+        ab["r3-flags"] = float("inf")
     best_tag = min(ab, key=ab.get)
     fl = dict(combos)[best_tag]
     pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = fl["w"], fl["t"], fl["f"]
