@@ -693,6 +693,9 @@ def main():
     if stop_after == 2:
         return
 
+    # stage2's 2048-gens capacity arrays (~0.9 GB) are dead weight for the
+    # VSMT stages; 12 in-flight batch jobs run within ~1.5 GB of the chip
+    backend.evict_gens()
     try:
         dt, ctx = stage3_vsmt(backend=backend)
         _VSMT2_BEST = (
@@ -749,6 +752,7 @@ def main():
             raise
 
     if os.environ.get("BENCH_VSMT4", "1") != "0":
+        backend.evict_gens()  # drop the 2^18 arrays before the 2^17 build
         try:
             dt4 = stage3b_vsmt4(backend)
             result(
@@ -768,6 +772,7 @@ def main():
             result(*_VSMT2_BEST)
 
     if os.environ.get("BENCH_EQUIV", "1") != "0":
+        backend.evict_gens()
         try:
             stage5_equiv_gate(backend)
         except AssertionError as e:

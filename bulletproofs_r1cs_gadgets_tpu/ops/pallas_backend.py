@@ -100,6 +100,21 @@ class PallasBackend:
         self._gens_cache: dict = {}
         self._point_chunk_cache: dict = {}
 
+    def evict_gens(self) -> None:
+        """Free every cached generator capacity array and multiple table.
+
+        The cache is keyed by ``id(gens_share._gens)``, so entries for
+        dead gens objects can never be hit again yet still pin their
+        device buffers (a full-capacity big+table pair is ~0.9 GB HBM).
+        Call between workloads that use different ``BulletproofGens``
+        (bench does, between stages): the next proof on the live gens
+        rebuilds its arrays once (~15 s for 2^18) and the batch sweep
+        regains the headroom — 12 in-flight VSMT-2 jobs sit within
+        ~1.5 GB of the 16 GB chip (PERF_NOTES 'HBM accounting'), so a
+        stale pair is the difference between steady state and paging."""
+        self._gens_cache.clear()
+        self._point_chunk_cache.clear()
+
     # -------------------------------------------------- generator caching
     def _gens_chunks(self, gens_share, n: int, which: str):
         """Device chunk list covering >= n generator points (cached per

@@ -392,3 +392,16 @@ def test_flotilla_pack_and_fetch_roundtrip():
     # (ROWS, SUB, LAN) flattening of points_to_chunks)
     got = ck.fetch_lane_points(chunks[0], 3)
     assert got == pts
+
+
+def test_evict_gens_clears_caches():
+    """evict_gens drops every cached generator array/table (stale entries
+    for dead gens objects pin ~0.9 GB device HBM each — bench calls this
+    between stages that switch BulletproofGens)."""
+    from bulletproofs_r1cs_gadgets_tpu.ops.pallas_backend import PallasBackend
+
+    be = PallasBackend()
+    be._gens_cache[("x", "G", "big")] = ("sentinel", 1)
+    be._point_chunk_cache[("t", b"p")] = "sentinel"
+    be.evict_gens()
+    assert be._gens_cache == {} and be._point_chunk_cache == {}
