@@ -66,19 +66,23 @@ _WINMSM = os.environ.get("BPTPU_WINMSM", "1") != "0"
 # BPTPU_W3H=0 falls back to the full-width w4 constant fold
 _W3H = os.environ.get("BPTPU_W3H", "1") != "0"
 # wrap-around index map: the combined-layout R walk's two table segments
-# in ONE msm_win dispatch; BPTPU_WRAPMSM=1 enables (default off until
-# validated on hardware — flip after a green stage-5 equivalence gate)
-_WRAPMSM = os.environ.get("BPTPU_WRAPMSM", "0") != "0"
+# in ONE msm_win dispatch.  Validated on hardware (4 true-wrap kernel
+# geometries byte-equal + stage-5 equivalence gate green); default ON.
+_WRAPMSM = os.environ.get("BPTPU_WRAPMSM", "1") != "0"
 # table tiering: drop to the half-capacity multiple-table shape once the
 # combined layout's valid span fits (386 MB instead of 772 MB per job from
 # round 3 on — lifts the batched-HBM ceiling); costs one extra Mosaic
-# compile pair per process.  Default off until validated on hardware.
-_TBLTIER = os.environ.get("BPTPU_TBLTIER", "0") != "0"
+# compile pair per process.  Validated on hardware (stage-5 gate); ~
+# neutral on its own (the tier-boundary table rebuild loses donation) but
+# positive combined with the flotilla and required for inflight-capped
+# B > 12 batches; default ON.
+_TBLTIER = os.environ.get("BPTPU_TBLTIER", "1") != "0"
 # frozen-tail flotilla: once every active job of a batch is frozen, pack
 # the wave's [G|H|Q] chunks into ONE capacity array and compute all 2B
 # L/R points per round in ONE msm_lane dispatch instead of B pair
-# dispatches (~19 ms each).  Default off until validated on hardware.
-_FLOTILLA = os.environ.get("BPTPU_FLOTILLA", "0") != "0"
+# dispatches (~19 ms each).  Validated on hardware (stage-5 gate,
+# batched path byte-equal); ~9% batch throughput; default ON.
+_FLOTILLA = os.environ.get("BPTPU_FLOTILLA", "1") != "0"
 
 
 def _as_array(scalars) -> np.ndarray:

@@ -52,7 +52,8 @@ def fake_kernels(monkeypatch, request):
         "msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0,
         "fold_grid_c": 0, "fold_grid_c_donate": 0, "fold_grid_c_comb": 0,
         "fold_grid_w3h": 0, "fold_grid_w3h_comb": 0, "msm_grid_pair": 0,
-        "table_big": 0, "msm_win": 0, "winmsm": request.param,
+        "table_big": 0, "msm_win": 0, "msm_lane": 0,
+        "winmsm": request.param,
     }
 
     import jax
@@ -168,7 +169,17 @@ def fake_kernels(monkeypatch, request):
     monkeypatch.setattr(
         pc, "fold_grid_w3h_comb", _fold_w3h("fold_grid_w3h_comb")
     )
+    def msm_lane_dyn(points, words, info, v):
+        # flotilla frozen rounds (default path since BPTPU_FLOTILLA=1):
+        # per-lane totals over 2B packed chunks in one dispatch
+        calls["msm_lane"] += 1
+        assert points.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+        assert words.shape == (8, pc.SUB, pc.GRID_LANES)
+        assert 1 <= int(info[0]) <= pc.GRID_CHUNKS
+        return jnp.asarray(ck._IDENT_CHUNK_NP)
+
     monkeypatch.setattr(pc, "msm_grid_pair", msm_grid_pair)
+    monkeypatch.setattr(pc, "msm_lane_dyn", msm_lane_dyn)
     monkeypatch.setattr(ck, "fetch_points", fetch_points)
     from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
 
