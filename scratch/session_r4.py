@@ -53,6 +53,8 @@ def main():
             sys.argv[1] if len(sys.argv) > 1 else "12:3,16:4,24:6"
         ).split(",")
     ]
+    # which sections to run, e.g. "23" = serial + sweep only
+    sections = sys.argv[2] if len(sys.argv) > 2 else "123456"
 
     import bench
     from bulletproofs_r1cs_gadgets_tpu import Prover, Transcript
@@ -66,47 +68,57 @@ def main():
     backend = PallasBackend()
 
     # ---------------------------------------------- 1. wrapmsm kernel check
-    section("1. wrap-around msm_win kernel equivalence")
-    n = 8 * ck.CHUNK
-    gens8 = BulletproofGens(n)
-    t0 = time.time()
-    table = backend._gens_table(gens8.share(0), n, "G")
-    rows = scvec.from_wide_bytes(np.random.RandomState(5).bytes(64 * n))
-    words = ck.grid_words(rows, 8)
-    # (valid, split, poff, poff2): every table chunk touched must be
-    # INITIALIZED (< 8) — table_big only writes [0, n_chunks); capacity is
-    # 128 chunks so out-of-range reads hit garbage limbs for which the
-    # Horner/associativity identities do NOT hold (an earlier run compared
-    # garbage and "failed").  (8,4,4,0) is the true wrap shape; (4,2,0,6)
-    # mirrors production's R walk (split=k, poff2=3k with 4k=8 chunks).
-    ok_all = True
-    for valid, split, poff, poff2 in (
-        (8, 4, 4, 0), (8, 2, 6, 0), (6, 3, 0, 5), (4, 2, 0, 6),
-    ):
-        assert poff + split <= 8 and poff2 + (valid - split) <= 8
-        a = ck.fetch_points([
-            ck.msm_win(table, words, valid, poff=poff, split=split,
-                       poff2=poff2)
-        ])[0]
-        b_acc = ck.msm_win(table, words, split, poff=poff)
-        b_acc = ck.msm_win(table, words, valid - split, poff=poff2,
-                           woff=split, chain=b_acc)
-        b = ck.fetch_points([b_acc])[0]
-        ok = a == b
-        ok_all = ok_all and ok
-        log(f"kernel valid={valid} split={split} poff={poff} "
-            f"poff2={poff2}: {'OK' if ok else 'MISMATCH'}")
-    record("wrapmsm_kernel_ok", ok_all)
-    log(f"(section incl. first msm_win compiles: {time.time()-t0:.0f}s)")
-    wrap_ok = ok_all
-    del table, words, rows, a, b_acc, b
+    def section1():
+        section("1. wrap-around msm_win kernel equivalence")
+        n = 8 * ck.CHUNK
+        gens8 = BulletproofGens(n)
+        t0 = time.time()
+        table = backend._gens_table(gens8.share(0), n, "G")
+        rows = scvec.from_wide_bytes(np.random.RandomState(5).bytes(64 * n))
+        words = ck.grid_words(rows, 8)
+        # (valid, split, poff, poff2): every table chunk touched must be
+        # INITIALIZED (< 8) — table_big only writes [0, n_chunks); capacity
+        # is 128 chunks so out-of-range reads hit garbage limbs for which
+        # the Horner/associativity identities do NOT hold (an earlier run
+        # compared garbage and "failed").  (8,4,4,0) is the true wrap
+        # shape; (4,2,0,6) mirrors production's R walk (split=k, poff2=3k
+        # with 4k=8 chunks).
+        ok_all = True
+        for valid, split, poff, poff2 in (
+            (8, 4, 4, 0), (8, 2, 6, 0), (6, 3, 0, 5), (4, 2, 0, 6),
+        ):
+            assert poff + split <= 8 and poff2 + (valid - split) <= 8
+            a = ck.fetch_points([
+                ck.msm_win(table, words, valid, poff=poff, split=split,
+                           poff2=poff2)
+            ])[0]
+            b_acc = ck.msm_win(table, words, split, poff=poff)
+            b_acc = ck.msm_win(table, words, valid - split, poff=poff2,
+                               woff=split, chain=b_acc)
+            b = ck.fetch_points([b_acc])[0]
+            ok = a == b
+            ok_all = ok_all and ok
+            log(f"kernel valid={valid} split={split} poff={poff} "
+                f"poff2={poff2}: {'OK' if ok else 'MISMATCH'}")
+        record("wrapmsm_kernel_ok", ok_all)
+        log(f"(section incl. first msm_win compiles: {time.time()-t0:.0f}s)")
+        return ok_all
+
+    wrap_ok = section1() if "1" in sections else True
+    backend.evict_gens()  # free the section-1 gens table (~0.9 GB HBM)
 
     # ---------------------------------------------- 2. serial stage2+3
     section("2. Poseidon 2:1 + serial VSMT-2 (warm)")
     warm2, _total2 = bench.stage2_poseidon(backend)
     record("poseidon2_warm_prove_s", round(warm2, 3))
+    backend.evict_gens()  # free the 2048-gens arrays before the big tree
     dt3, ctx = bench.stage3_vsmt(backend=backend)
     record("vsmt2_serial_warm_s", round(dt3, 3))
+    if "3" not in sections:
+        log("sections 3+ skipped")
+        section("DONE")
+        log(json.dumps(RESULTS, indent=1))
+        return
 
     # ---------------------------------------------- 3. batched sweep
     section("3. batched VSMT-2 sweep")
@@ -145,15 +157,19 @@ def main():
     # flag A/B at the first sweep point: baseline (round-3 flags) vs the
     # round-4 candidates, one at a time, then combined
     B0, w0 = sweep[0][0], sweep[0][1]
-    combos = [
-        ("r3-flags", dict(w=False, t=False, f=False)),
-        ("TBLTIER", dict(w=False, t=True, f=False)),
-        ("TBLTIER+FLOT", dict(w=False, t=True, f=True)),
-    ]
-    if wrap_ok:
-        combos.append(("WRAP+TBLTIER+FLOT", dict(w=True, t=True, f=True)))
-    else:
-        log("skipping WRAP combos (kernel equivalence failed)")
+    combos = []
+    if "c" in sections:
+        combos = [
+            ("r3-flags", dict(w=False, t=False, f=False)),
+            ("TBLTIER", dict(w=False, t=True, f=False)),
+            ("TBLTIER+FLOT", dict(w=False, t=True, f=True)),
+        ]
+        if wrap_ok:
+            combos.append(
+                ("WRAP+TBLTIER+FLOT", dict(w=True, t=True, f=True))
+            )
+        else:
+            log("skipping WRAP combos (kernel equivalence failed)")
     saved = (pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA)
     ab = {}
     try:
@@ -172,13 +188,16 @@ def main():
         pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = saved
 
     # pick the fastest combo for the B sweep
-    if not ab:
-        ab["r3-flags"] = float("inf")
-    best_tag = min(ab, key=ab.get)
-    fl = dict(combos)[best_tag]
-    pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = fl["w"], fl["t"], fl["f"]
-    record("best_combo", best_tag)
-    for pt in sweep[1:]:
+    if ab:
+        best_tag = min(ab, key=ab.get)
+        fl = dict(combos)[best_tag]
+        pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = fl["w"], fl["t"], fl["f"]
+        record("best_combo", best_tag)
+        rest = sweep[1:]
+    else:
+        best_tag = "defaults"  # module defaults (env-set flags)
+        rest = sweep
+    for pt in rest:
         B, waves = pt[0], pt[1]
         inflight = pt[2] if len(pt) > 2 else None
         try:
