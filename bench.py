@@ -763,7 +763,11 @@ def main():
                 "proofs/sec/chip (VSMT-4 Poseidon gadget)",
                 1.0 / dt4,
                 "proofs/s",
-                extra={"prove_seconds": round(dt4, 2)},
+                vs_baseline=_ratio(base.get("vsmt4_prove_s"), dt4),
+                extra={
+                    "prove_seconds": round(dt4, 2),
+                    "native_single_core_prove_s": base.get("vsmt4_prove_s"),
+                },
             )
         except Exception as e:
             log(f"[stage3b] FAILED: {type(e).__name__}: {e}")

@@ -121,6 +121,30 @@ def measure(out: dict) -> dict:
         out["vsmt2_prove_s"] = round(time.time() - t0, 2)
         log(f"vsmt2_prove_s = {out['vsmt2_prove_s']}")
 
+    # ---- VSMT-4 depth-128 (BASELINE config 4, stage-3b circuit)
+    if "vsmt4_prove_s" not in out:
+        from bulletproofs_r1cs_gadgets_tpu.models.compiled import (
+            CompiledVSMT4,
+        )
+
+        depth = 128
+        comp = CompiledVSMT4(params, depth)
+        padded = 1 << (comp.num_multipliers - 1).bit_length()
+        bp = BulletproofGens(padded)
+        k = Scalar(7)
+        nodes = [Scalar(1000 + i) for i in range(3 * depth)]
+        aL, aR, aO = comp.witness(k, k, nodes)
+        tape = comp.tape(comp._root)
+        pr = Prover(pc, Transcript(b"VSMT"))
+        comp.commit_prover(pr, k, k, nodes)
+        pr.load_compiled(tape, aL, aR, aO)
+        log(f"vsmt4: {pr.num_multipliers()} multipliers, proving "
+            f"(single core)...")
+        t0 = time.time()
+        pr.prove(bp, backend=be)
+        out["vsmt4_prove_s"] = round(time.time() - t0, 2)
+        log(f"vsmt4_prove_s = {out['vsmt4_prove_s']}")
+
     out["machine"] = cpu_model()
     out["note"] = (
         "single-core C++ NativeBackend (ops/native_backend.py): "
