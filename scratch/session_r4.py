@@ -214,14 +214,19 @@ def main():
     del provers, snaps
 
     # ---------------------------------------------- 4. VSMT-4
-    section("4. VSMT-4 depth-128")
-    try:
+    if "4" in sections:
+      section("4. VSMT-4 depth-128")
+      try:
         dt4 = bench.stage3b_vsmt4(backend)
         record("vsmt4_warm_prove_s", round(dt4, 3))
-    except Exception as e:
+      except Exception as e:
         log(f"stage3b FAILED: {type(e).__name__}: {e}")
 
     # ---------------------------------------------- 5. equivalence gate
+    if "5" not in sections:
+        section("DONE")
+        log(json.dumps(RESULTS, indent=1))
+        return
     section("5. path-equivalence gate")
     try:
         bench.stage5_equiv_gate(backend)
