@@ -114,111 +114,108 @@ def main():
     backend.evict_gens()  # free the 2048-gens arrays before the big tree
     dt3, ctx = bench.stage3_vsmt(backend=backend)
     record("vsmt2_serial_warm_s", round(dt3, 3))
-    if "3" not in sections:
-        log("sections 3+ skipped")
-        section("DONE")
-        log(json.dumps(RESULTS, indent=1))
-        return
+    if "3" in sections:
+        # ---------------------------------------------- 3. batched sweep
+        section("3. batched VSMT-2 sweep")
+        pc_gens, bp_gens, comp, tape = (
+            ctx["pc_gens"], ctx["bp_gens"], ctx["comp"], ctx["tape"]
+        )
+        from concurrent.futures import ThreadPoolExecutor
 
-    # ---------------------------------------------- 3. batched sweep
-    section("3. batched VSMT-2 sweep")
-    pc_gens, bp_gens, comp, tape = (
-        ctx["pc_gens"], ctx["bp_gens"], ctx["comp"], ctx["tape"]
-    )
-    from concurrent.futures import ThreadPoolExecutor
+        def build(_):
+            p = Prover(pc_gens, Transcript(b"VSMT"))
+            comp.commit_prover(p, ctx["k"], ctx["bits"], ctx["nodes"])
+            p.load_compiled(tape, ctx["aL"], ctx["aR"], ctx["aO"])
+            return p
 
-    def build(_):
-        p = Prover(pc_gens, Transcript(b"VSMT"))
-        comp.commit_prover(p, ctx["k"], ctx["bits"], ctx["nodes"])
-        p.load_compiled(tape, ctx["aL"], ctx["aR"], ctx["aO"])
-        return p
+        Bmax = max(pt[0] for pt in sweep)
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            provers = list(pool.map(build, range(Bmax)))
+        snaps = [p.snapshot() for p in provers]
+        log(f"built {Bmax} provers in {time.time()-t0:.0f}s")
 
-    Bmax = max(pt[0] for pt in sweep)
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        provers = list(pool.map(build, range(Bmax)))
-    snaps = [p.snapshot() for p in provers]
-    log(f"built {Bmax} provers in {time.time()-t0:.0f}s")
+        def run_batch(B, waves, inflight=None, reps=2):
+            best = None
+            for rep in range(reps):
+                for p, s in zip(provers[:B], snaps[:B]):
+                    p.restore(s)
+                t0 = time.time()
+                prove_provers(provers[:B], bp_gens, backend=backend,
+                              waves=waves, inflight=inflight)
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+                log(f"  B={B} waves={waves} inflight={inflight or B} "
+                    f"rep={rep}: {el:.1f}s ({B/el:.3f} proofs/s)")
+            return best
 
-    def run_batch(B, waves, inflight=None, reps=2):
-        best = None
-        for rep in range(reps):
-            for p, s in zip(provers[:B], snaps[:B]):
-                p.restore(s)
-            t0 = time.time()
-            prove_provers(provers[:B], bp_gens, backend=backend,
-                          waves=waves, inflight=inflight)
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-            log(f"  B={B} waves={waves} inflight={inflight or B} "
-                f"rep={rep}: {el:.1f}s ({B/el:.3f} proofs/s)")
-        return best
-
-    # flag A/B at the first sweep point: baseline (round-3 flags) vs the
-    # round-4 candidates, one at a time, then combined
-    B0, w0 = sweep[0][0], sweep[0][1]
-    combos = []
-    if "c" in sections:
-        combos = [
-            ("r3-flags", dict(w=False, t=False, f=False)),
-            ("TBLTIER", dict(w=False, t=True, f=False)),
-            ("TBLTIER+FLOT", dict(w=False, t=True, f=True)),
-        ]
-        if wrap_ok:
-            combos.append(
-                ("WRAP+TBLTIER+FLOT", dict(w=True, t=True, f=True))
-            )
-        else:
-            log("skipping WRAP combos (kernel equivalence failed)")
-    saved = (pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA)
-    ab = {}
-    try:
-        for tag, fl in combos:
-            pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = (
-                fl["w"], fl["t"], fl["f"]
-            )
-            log(f"-- combo {tag}")
-            try:
-                ab[tag] = run_batch(B0, w0, reps=2)
-            except Exception as e:
-                log(f"combo {tag} FAILED: {type(e).__name__}: {e}")
-                continue
-            record(f"batch_{B0}x{w0}_{tag}_s", round(ab[tag], 2))
-    finally:
-        pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = saved
-
-    # pick the fastest combo for the B sweep
-    if ab:
-        best_tag = min(ab, key=ab.get)
-        fl = dict(combos)[best_tag]
-        pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = fl["w"], fl["t"], fl["f"]
-        record("best_combo", best_tag)
-        rest = sweep[1:]
-    else:
-        best_tag = "defaults"  # module defaults (env-set flags)
-        rest = sweep
-    for pt in rest:
-        B, waves = pt[0], pt[1]
-        inflight = pt[2] if len(pt) > 2 else None
+        # flag A/B at the first sweep point: baseline (round-3 flags) vs the
+        # round-4 candidates, one at a time, then combined
+        B0, w0 = sweep[0][0], sweep[0][1]
+        combos = []
+        if "c" in sections:
+            combos = [
+                ("r3-flags", dict(w=False, t=False, f=False)),
+                ("TBLTIER", dict(w=False, t=True, f=False)),
+                ("TBLTIER+FLOT", dict(w=False, t=True, f=True)),
+            ]
+            if wrap_ok:
+                combos.append(
+                    ("WRAP+TBLTIER+FLOT", dict(w=True, t=True, f=True))
+                )
+            else:
+                log("skipping WRAP combos (kernel equivalence failed)")
+        saved = (pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA)
+        ab = {}
         try:
-            el = run_batch(B, waves, inflight, reps=2)
-        except Exception as e:
-            log(f"  B={B} waves={waves} FAILED: {type(e).__name__}: {e}")
-            record(f"batch_{B}x{waves}_{best_tag}_s", f"FAILED: {e}")
-            continue
-        key = f"batch_{B}x{waves}" + (f"i{inflight}" if inflight else "")
-        record(f"{key}_{best_tag}_s", round(el, 2))
-        record(f"{key}_proofs_per_s", round(B / el, 3))
+            for tag, fl in combos:
+                pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = (
+                    fl["w"], fl["t"], fl["f"]
+                )
+                log(f"-- combo {tag}")
+                try:
+                    ab[tag] = run_batch(B0, w0, reps=2)
+                except Exception as e:
+                    log(f"combo {tag} FAILED: {type(e).__name__}: {e}")
+                    continue
+                record(f"batch_{B0}x{w0}_{tag}_s", round(ab[tag], 2))
+        finally:
+            pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = saved
 
-    # free the sweep provers before the next stages
-    del provers, snaps
+        # pick the fastest combo for the B sweep
+        if ab:
+            best_tag = min(ab, key=ab.get)
+            fl = dict(combos)[best_tag]
+            pbm._WRAPMSM, pbm._TBLTIER, pbm._FLOTILLA = fl["w"], fl["t"], fl["f"]
+            record("best_combo", best_tag)
+            rest = sweep[1:]
+        else:
+            best_tag = "defaults"  # module defaults (env-set flags)
+            rest = sweep
+        for pt in rest:
+            B, waves = pt[0], pt[1]
+            inflight = pt[2] if len(pt) > 2 else None
+            try:
+                el = run_batch(B, waves, inflight, reps=2)
+            except Exception as e:
+                log(f"  B={B} waves={waves} FAILED: {type(e).__name__}: {e}")
+                record(f"batch_{B}x{waves}_{best_tag}_s", f"FAILED: {e}")
+                continue
+            key = f"batch_{B}x{waves}" + (f"i{inflight}" if inflight else "")
+            record(f"{key}_{best_tag}_s", round(el, 2))
+            record(f"{key}_proofs_per_s", round(B / el, 3))
+
+        # free the sweep provers before the next stages
+        del provers, snaps
 
     # ---------------------------------------------- 4. VSMT-4
     if "4" in sections:
       section("4. VSMT-4 depth-128")
       try:
-        dt4 = bench.stage3b_vsmt4(backend)
+        dt4, bdt4, B4 = bench.stage3b_vsmt4(backend)
         record("vsmt4_warm_prove_s", round(dt4, 3))
+        if bdt4 is not None:
+            record(f"vsmt4_batch{B4}_proofs_per_s", round(B4 / bdt4, 3))
       except Exception as e:
         log(f"stage3b FAILED: {type(e).__name__}: {e}")
 
