@@ -413,7 +413,10 @@ def stage3b_vsmt4(backend):
         dt = time.time() - t0
         log(f"[stage3b] warm prove {i} {dt:.1f}s")
 
-    B = int(os.environ.get("BENCH_VSMT4_BATCH", 12))
+    # default 24: the half-size jobs leave HBM headroom beyond 12 and the
+    # measured rate keeps rising (0.452 proofs/s at B=12 -> 0.524 at B=24
+    # on-chip, 2026-08-20 session)
+    B = int(os.environ.get("BENCH_VSMT4_BATCH", 24))
     if B <= 1:
         return dt, None, B
     from concurrent.futures import ThreadPoolExecutor
