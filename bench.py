@@ -435,7 +435,7 @@ def stage3b_vsmt4(backend):
     snaps = [p.snapshot() for p in provers]
     log(f"[stage3b] built {B} provers in {time.time()-t0:.1f}s")
     bdt = None
-    for rep in range(2):
+    for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 3))):
         if rep:
             for p, s in zip(provers, snaps):
                 p.restore(s)
@@ -613,12 +613,14 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
         provers = list(pool.map(_build, range(B)))
     log(f"[stage4] built {B} provers in {time.time()-t0:.1f}s")
 
-    # two passes: the first absorbs batch-only one-time costs (fused
-    # fetch-stack compiles, straggler allocs); the second is steady state.
-    # Snapshots let the same synthesized provers prove twice.
+    # three passes: the first absorbs batch-only one-time costs (fused
+    # fetch-stack compiles, straggler allocs) and the allocator keeps
+    # settling into pass 2 (measured 30.0 / 24.9 / 20.2 s on 2026-08-20);
+    # the min is the steady state.  Snapshots let the same synthesized
+    # provers prove repeatedly.
     snaps = [p.snapshot() for p, _ in provers]
     dt = None
-    for rep in range(2):
+    for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 3))):
         if rep:
             for (p, _), s in zip(provers, snaps):
                 p.restore(s)

@@ -277,15 +277,17 @@ class PallasBackend:
         self, gens_share, a_L, a_R, a_O, s_L, s_R,
         i_blinding, o_blinding, s_blinding, B_blinding, offset,
     ):
-        """Dispatch the three phase-1 MSM chains; returns device
-        accumulators (NO sync) for a later fused :func:`ck.fetch_points`."""
+        """Dispatch the three phase-1 MSM chains; returns
+        ``((acc_AI, acc_AO, acc_S), heads_or_None)`` — device accumulators
+        (NO sync) for a later fused :func:`ck.fetch_points`, plus the
+        host-computed blinding head points on the grid path (added after
+        the fetch; see ``phase_commitments_batch``)."""
         n = len(a_L)
         assert offset == 0, "phase-2 device commitments not yet routed"
         t0 = time.time() if _TIMING else 0
         a_L, a_R, a_O = _as_array(a_L), _as_array(a_R), _as_array(a_O)
         s_L, s_R = _as_array(s_L), _as_array(s_R)
         k = _nchunks(n)
-        bb = self._cached_point_chunk("Bb", B_blinding)
         G_big = self._gens_big(gens_share, n, "G") if k >= 2 else None
         if G_big is not None:
             # grid path: 2 dispatches per commitment instead of 2k+1
@@ -298,32 +300,32 @@ class PallasBackend:
             else:
                 msm_G = lambda wds, acc: ck.msm_grid(G_big, wds, k, acc=acc)
                 msm_H = lambda wds, acc: ck.msm_grid(H_big, wds, k, acc=acc)
+            # blinding heads i/o/s_blinding * B_blinding: ~2 ms host
+            # scalar_muls instead of three single-lane device ladder
+            # dispatches per proof (the host-Q-terms pattern of
+            # round_dispatch); added to the fetched walk totals — same
+            # group elements, identical compressed bytes
+            heads = (
+                B_blinding.scalar_mul(i_blinding),
+                B_blinding.scalar_mul(o_blinding),
+                B_blinding.scalar_mul(s_blinding),
+            )
             if _TIMING:
                 TIMER.add("phase1_prep", time.time() - t0)
                 t0 = time.time()
-            head_AI = ck.msm_chain(
-                [bb], [ck.single_scalar_words(i_blinding)]
-            )
             acc_AI = msm_H(
                 ck.grid_words(a_R, k),
-                msm_G(ck.grid_words(a_L, k), head_AI),
+                msm_G(ck.grid_words(a_L, k), None),
             )
-            acc_AO = msm_G(
-                ck.grid_words(a_O, k),
-                ck.msm_chain([bb], [ck.single_scalar_words(o_blinding)]),
-            )
+            acc_AO = msm_G(ck.grid_words(a_O, k), None)
             acc_S = msm_H(
                 ck.grid_words(s_R, k),
-                msm_G(
-                    ck.grid_words(s_L, k),
-                    ck.msm_chain(
-                        [bb], [ck.single_scalar_words(s_blinding)]
-                    ),
-                ),
+                msm_G(ck.grid_words(s_L, k), None),
             )
             if _TIMING:
                 TIMER.add("phase1_dispatch", time.time() - t0)
-            return acc_AI, acc_AO, acc_S
+            return (acc_AI, acc_AO, acc_S), heads
+        bb = self._cached_point_chunk("Bb", B_blinding)
         G = self._gens_chunks(gens_share, n, "G")
         H = self._gens_chunks(gens_share, n, "H")
         if _TIMING:
@@ -346,7 +348,7 @@ class PallasBackend:
         )
         if _TIMING:
             TIMER.add("phase1_dispatch", time.time() - t0)
-        return acc_AI, acc_AO, acc_S
+        return (acc_AI, acc_AO, acc_S), None
 
     def phase_commitments(self, *args):
         return self.phase_commitments_batch([args])[0]
@@ -358,12 +360,15 @@ class PallasBackend:
         returns [(A_I, A_O, S) compressed] per job."""
         out: list = [None] * len(jobs)
         accs = []
+        heads = []
         order = []
         for idx, job in enumerate(jobs):
             if len(job[1]) < self.min_device_n:
                 out[idx] = self._phase_host(*job)
             else:
-                accs.extend(self._phase_begin(*job))
+                job_accs, job_heads = self._phase_begin(*job)
+                accs.extend(job_accs)
+                heads.append(job_heads)
                 order.append(idx)
         if accs:
             t0 = time.time() if _TIMING else 0
@@ -372,6 +377,9 @@ class PallasBackend:
                 TIMER.add("phase1_sync", time.time() - t0)
             for j, idx in enumerate(order):
                 A_I, A_O, S = pts[3 * j : 3 * j + 3]
+                if heads[j] is not None:
+                    h_I, h_O, h_S = heads[j]
+                    A_I, A_O, S = A_I + h_I, A_O + h_O, S + h_S
                 out[idx] = (A_I.compress(), A_O.compress(), S.compress())
         return out
 
