@@ -514,23 +514,29 @@ def stage5_equiv_gate(backend):
     # flag combos: every kernel path (WINMSM/W3H) plus the round-4
     # candidates (wrap-around R walk, table tiering, frozen flotilla —
     # flotilla needs a batch, so it is exercised through prove_provers)
-    saved = (pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER)
+    saved = (
+        pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER, pbm._PAIRWALK
+    )
     combos = [
-        ("pallas(default)", (True, True, pbm._WRAPMSM, pbm._TBLTIER)),
-        ("pallas(W3H=0)", (True, False, False, False)),
-        ("pallas(WINMSM=0)", (False, True, False, False)),
-        ("pallas(WINMSM=0,W3H=0)", (False, False, False, False)),
-        ("pallas(WRAPMSM=1,TBLTIER=1)", (True, True, True, True)),
+        ("pallas(default)",
+         (True, True, pbm._WRAPMSM, pbm._TBLTIER, pbm._PAIRWALK)),
+        ("pallas(W3H=0)", (True, False, False, False, False)),
+        ("pallas(WINMSM=0)", (False, True, False, False, False)),
+        ("pallas(WINMSM=0,W3H=0)", (False, False, False, False, False)),
+        ("pallas(WRAPMSM=1,TBLTIER=1)", (True, True, True, True, False)),
+        ("pallas(PAIRWALK=1)", (True, True, True, True, True)),
     ]
     try:
         for tag, flags in combos:
-            (pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER) = flags
+            (pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER,
+             pbm._PAIRWALK) = flags
             t0 = time.time()
             proof, comms = prove_with(backend)
             results[tag] = proof.to_bytes()
             log(f"[stage5] {tag} proof in {time.time()-t0:.1f}s")
     finally:
-        pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER = saved
+        (pbm._WINMSM, pbm._W3H, pbm._WRAPMSM, pbm._TBLTIER,
+         pbm._PAIRWALK) = saved
 
     # flotilla: batch of 3 frozen-from-round-1 proofs through
     # prove_provers under BPTPU_FLOTILLA — the batch path must match too

@@ -586,6 +586,20 @@ def msm_win(table: jnp.ndarray, words_big: jnp.ndarray, valid: int,
     return pc.msm_win_dyn(table, words_big, chain, info, valid)
 
 
+def msm_win_pair(table: jnp.ndarray, words_big: jnp.ndarray,
+                 k: int) -> jnp.ndarray:
+    """Both window walks of a combined-layout IPP round (side = 2k
+    chunks) in ONE dispatch: L = <words[0:2k), table chunks [k, 3k)>,
+    R = <words[2k:4k), chunks [0, k) then [3k, 4k)>.  The caller encodes
+    words as grid_words(concat(scG_L, scH_L, scG_R, scH_R), 4k).  Returns
+    the (92, 8, 512) accumulator pair; split with pair_lo / pair_hi."""
+    tc = table.shape[-1] // (TBL * pc.LAN_BLOCK)
+    assert 1 <= k and 4 * k <= tc
+    acc2 = _pair_cat(ident_chunk(), ident_chunk())
+    info = np.array([4 * k, k, 0, 0, 0], dtype=np.int32)
+    return pc.msm_win_pair_dyn(table, words_big, acc2, info, 4 * k)
+
+
 # ------------------------------------------------------- frozen-tail pack
 _frozen_pack_fns: dict = {}
 

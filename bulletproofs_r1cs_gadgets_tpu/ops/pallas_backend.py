@@ -77,6 +77,11 @@ _WRAPMSM = os.environ.get("BPTPU_WRAPMSM", "1") != "0"
 # positive combined with the flotilla and required for inflight-capped
 # B > 12 batches; default ON.
 _TBLTIER = os.environ.get("BPTPU_TBLTIER", "1") != "0"
+# paired window walk: a combined round's L and R MSMs in ONE msm_win_pair
+# dispatch (dual window/Horner scratch; the per-step instruction stream is
+# unchanged, the second dispatch's launch+ramp fixed cost disappears).
+# Default OFF until hardware-validated (stage-5 gate + speedup).
+_PAIRWALK = os.environ.get("BPTPU_PAIRWALK", "0") != "0"
 # frozen-tail flotilla: once every active job of a batch is frozen, pack
 # the wave's [G|H|Q] chunks into ONE capacity array and compute all 2B
 # L/R points per round in ONE msm_lane dispatch instead of B pair
@@ -806,6 +811,17 @@ class _IppJob:
             # L's two segments (G high half + H low half) are contiguous:
             # ONE walk; R takes two.
             k = n // CHUNK
+            if _PAIRWALK:
+                # ONE dispatch for both sides: words laid out in walk
+                # order [L: scG_L|scH_L at chunks [k,3k)] then
+                # [R: scG_R at [0,k) | scH_R at [3k,4k)]
+                wLR = ck.grid_words(
+                    np.concatenate([scG_L, scH_L, scG_R, scH_R]), 4 * k
+                )
+                pair = ck.msm_win_pair(self.tC, wLR, k)
+                if _TIMING:
+                    TIMER.add("pair_dispatch", time.time() - t0)
+                return ck.pair_lo(pair), ck.pair_hi(pair)
             wL = ck.grid_words(np.concatenate([scG_L, scH_L]), 2 * k)
             wR = ck.grid_words(np.concatenate([scG_R, scH_R]), 2 * k)
             accL = ck.msm_win(self.tC, wL, 2 * k, poff=k)

@@ -1129,6 +1129,144 @@ def _msm_win_call(table: jnp.ndarray, words: jnp.ndarray,
 msm_win_dyn = jax.jit(_msm_win_call)
 
 
+def _load_point_lane(ref, lo: int):
+    return tuple(
+        ref[c * STORE : (c + 1) * STORE, :, lo : lo + LAN_BLOCK]
+        for c in range(4)
+    )
+
+
+def _store_point_lane(ref, p, lo: int):
+    for c in range(4):
+        ref[c * STORE : (c + 1) * STORE, :, lo : lo + LAN_BLOCK] = p[c]
+
+
+def _msm_win_pair_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref,
+                         waccL, hornerL, waccR, hornerR):
+    """Both MSMs of a combined-layout IPP round in ONE window walk.
+
+    Steps [0, 2k) accumulate L (table chunks [k, 3k): G-high | H-low,
+    contiguous); steps [2k, 4k) accumulate R (chunks [0, k) then
+    [3k, 4k)).  Each side keeps its own window/Horner scratch; the
+    instruction stream per step is identical to :func:`_msm_win_kernel`
+    (the side predicate is scalar, so Mosaic branches — only one side's
+    add executes), but the second dispatch's fixed cost (launch + ramp)
+    disappears."""
+    w = pl.program_id(0)
+    j = pl.program_id(1)
+    v = info_ref[0]
+    s = 2 * info_ref[1]
+    window = 63 - w  # Horner consumes digits MSB-first
+    zeros = jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32)
+    ident_n = _identity_niels(zeros)
+
+    @pl.when(j < v)
+    def _step():
+        sel = _win_digit_select(w_ref, window, t_ref, ident_n)
+
+        @pl.when(j == 0)
+        def _initL():
+            _store_point(waccL, _identity_point(zeros))
+
+        @pl.when(j == s)
+        def _initR():
+            _store_point(waccR, _identity_point(zeros))
+
+        @pl.when(j < s)
+        def _accL():
+            _store_point(
+                waccL, emit_point_add_niels(_load_point(waccL), sel)
+            )
+
+        @pl.when(j >= s)
+        def _accR():
+            _store_point(
+                waccR, emit_point_add_niels(_load_point(waccR), sel)
+            )
+
+    def _boundary(wacc, horner, lo):
+        @pl.when(w == 0)
+        def _first():
+            _store_point(horner, _load_point(wacc))
+
+        @pl.when(w > 0)
+        def _fold():
+            h = _load_point(horner)
+            for _ in range(3):
+                h = emit_point_double_xyz(h)
+            h = emit_point_double(h)
+            _store_point(horner, emit_point_add(h, _load_point(wacc)))
+
+        @pl.when(w == 63)
+        def _final():
+            tot = emit_block_reduce(_load_point(horner))
+            _store_point_lane(
+                o_ref,
+                emit_point_add(tot, _load_point_lane(chain_ref, lo)),
+                lo,
+            )
+
+    @pl.when(j == s - 1)
+    def _bL():
+        _boundary(waccL, hornerL, 0)
+
+    @pl.when(j == v - 1)
+    def _bR():
+        _boundary(waccR, hornerR, LAN_BLOCK)
+
+
+def _msm_win_pair_call(table: jnp.ndarray, words: jnp.ndarray,
+                       chain2: jnp.ndarray, info: jnp.ndarray,
+                       v) -> jnp.ndarray:
+    """One dispatch for a combined round's L AND R window walks
+    (info = [4k, k, ...]): steps j < 2k read table chunk j + k (L's
+    contiguous G-high|H-low span), steps j in [2k, 3k) read chunk
+    j - 2k (R's G-low) and steps in [3k, 4k) read chunk j (R's H-high).
+    Word chunk = j (caller lays words as [scG_L|scH_L|scG_R|scH_R]).
+    Returns the (92, 8, 512) pair: L total + chain-lo in lanes [0, 256),
+    R total + chain-hi beyond (pair_lo / pair_hi split)."""
+    assert words.shape == (8, SUB, GRID_LANES)
+    t_spec = pl.BlockSpec(
+        (ROWS, SUB, TBL * LAN_BLOCK),
+        lambda w, j, info: (
+            0, 0,
+            jnp.where(
+                j < 2 * info[1],
+                j + info[1],
+                jnp.where(j < 3 * info[1], j - 2 * info[1], j),
+            ),
+        ),
+    )
+    w_spec = pl.BlockSpec(
+        (8, SUB, LAN_BLOCK), lambda w, j, info: (0, 0, j)
+    )
+    fix2 = pl.BlockSpec(
+        (ROWS, SUB, 2 * LAN_BLOCK), lambda w, j, info: (0, 0, 0)
+    )
+    return pl.pallas_call(
+        _msm_win_pair_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(64, v),
+            in_specs=[t_spec, w_spec, fix2],
+            out_specs=fix2,
+            scratch_shapes=[
+                pltpu.VMEM((ROWS, SUB, LAN_BLOCK), jnp.int32)
+                for _ in range(4)
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (ROWS, SUB, 2 * LAN_BLOCK), jnp.int32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(info, table, words, chain2)
+
+
+msm_win_pair_dyn = jax.jit(_msm_win_pair_call)
+
+
 # ----------------------------------------------- per-chunk lane totals MSM
 # The frozen-tail "flotilla": a batched IPP's late rounds each cost one
 # 2-chunk pair dispatch PER JOB (~19 ms of mostly fixed cost).  This kernel

@@ -52,7 +52,7 @@ def fake_kernels(monkeypatch, request):
         "msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0,
         "fold_grid_c": 0, "fold_grid_c_donate": 0, "fold_grid_c_comb": 0,
         "fold_grid_w3h": 0, "fold_grid_w3h_comb": 0, "msm_grid_pair": 0,
-        "table_big": 0, "msm_win": 0, "msm_lane": 0,
+        "table_big": 0, "msm_win": 0, "msm_win_pair": 0, "msm_lane": 0,
         "winmsm": request.param,
     }
 
@@ -178,7 +178,18 @@ def fake_kernels(monkeypatch, request):
         assert 1 <= int(info[0]) <= pc.GRID_CHUNKS
         return jnp.asarray(ck._IDENT_CHUNK_NP)
 
+    def msm_win_pair_dyn(table, words, chain2, info, v):
+        calls["msm_win_pair"] += 1
+        tc = table.shape[-1] // (pc.TBL * pc.LAN_BLOCK)
+        assert tc in (pc.GRID_CHUNKS, pc.GRID_CHUNKS // 2)
+        assert words.shape == (8, pc.SUB, pc.GRID_LANES)
+        assert chain2.shape == (pc.ROWS, pc.SUB, 2 * pc.LAN_BLOCK)
+        iv, k = int(info[0]), int(info[1])
+        assert iv == v == 4 * k and 4 * k <= tc
+        return chain2
+
     monkeypatch.setattr(pc, "msm_grid_pair", msm_grid_pair)
+    monkeypatch.setattr(pc, "msm_win_pair_dyn", msm_win_pair_dyn)
     monkeypatch.setattr(pc, "msm_lane_dyn", msm_lane_dyn)
     monkeypatch.setattr(ck, "fetch_points", fetch_points)
     from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
@@ -245,6 +256,23 @@ def test_prover_grid_branches(fake_kernels, gens):
     # scalar_muls on the grid path (added post-fetch), not device chains
     assert fake_kernels["msm_chunk"] == 6
     assert fake_kernels["fold_chunk"] >= 0
+
+
+def test_prover_pairwalk(fake_kernels, gens, monkeypatch):
+    """BPTPU_PAIRWALK=1: each combined round's L and R walks ride ONE
+    msm_win_pair dispatch (dual accumulator halves) instead of two
+    msm_win calls; all other plumbing is unchanged."""
+    if not fake_kernels["winmsm"]:
+        pytest.skip("pairwalk applies to the winmsm combined layout only")
+    from bulletproofs_r1cs_gadgets_tpu.ops import pallas_backend as pb
+
+    monkeypatch.setattr(pb, "_PAIRWALK", True)
+    _, _, proof = _prove(gens, PallasBackend())
+    assert len(proof.to_bytes()) > 0
+    # padded 8192: one combined round (k=1) -> one pair dispatch; the
+    # separate-tables round 1 and phase-1 walks stay single msm_win
+    assert fake_kernels["msm_win_pair"] == 1
+    assert fake_kernels["msm_win"] >= 9
 
 
 def test_verifier_msm_gens_grid(fake_kernels, gens):
