@@ -596,8 +596,8 @@ def msm_win_pair(table: jnp.ndarray, words_big: jnp.ndarray,
     tc = table.shape[-1] // (TBL * pc.LAN_BLOCK)
     assert 1 <= k and 4 * k <= tc
     acc2 = _pair_cat(ident_chunk(), ident_chunk())
-    info = np.array([4 * k, k, 0, 0, 0], dtype=np.int32)
-    return pc.msm_win_pair_dyn(table, words_big, acc2, info, 4 * k)
+    info = np.array([2 * k, k, 0, 0, 0], dtype=np.int32)
+    return pc.msm_win_pair_dyn(table, words_big, acc2, info, 2 * k)
 
 
 # ------------------------------------------------------- frozen-tail pack

@@ -1142,20 +1142,20 @@ def _store_point_lane(ref, p, lo: int):
 
 
 def _msm_win_pair_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref,
-                         waccL, hornerL, waccR, hornerR):
-    """Both MSMs of a combined-layout IPP round in ONE window walk.
-
-    Steps [0, 2k) accumulate L (table chunks [k, 3k): G-high | H-low,
-    contiguous); steps [2k, 4k) accumulate R (chunks [0, k) then
-    [3k, 4k)).  Each side keeps its own window/Horner scratch; the
-    instruction stream per step is identical to :func:`_msm_win_kernel`
-    (the side predicate is scalar, so Mosaic branches — only one side's
-    add executes), but the second dispatch's fixed cost (launch + ramp)
-    disappears."""
-    w = pl.program_id(0)
-    j = pl.program_id(1)
+                         wacc, horner):
+    """Both MSMs of a combined-layout IPP round in ONE dispatch via a
+    SIDE grid dimension: grid (2, 64, 2k) runs the exact
+    :func:`_msm_win_kernel` body once per side (side 0 = L over table
+    chunks [k, 3k); side 1 = R over [0, k) then [3k, 4k)) — the inner
+    step is the UNCONDITIONAL niels add of the single walker (v1 of this
+    kernel predicated the add per side, which broke Mosaic's software
+    pipelining: measured 0.74x in batch).  The scratch accumulators are
+    reused across sides (j == 0 reinitialises per (side, window)); the
+    only fused-away cost is the second dispatch's launch + ramp."""
+    s = pl.program_id(0)
+    w = pl.program_id(1)
+    j = pl.program_id(2)
     v = info_ref[0]
-    s = 2 * info_ref[1]
     window = 63 - w  # Horner consumes digits MSB-first
     zeros = jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32)
     ident_n = _identity_niels(zeros)
@@ -1165,26 +1165,15 @@ def _msm_win_pair_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref,
         sel = _win_digit_select(w_ref, window, t_ref, ident_n)
 
         @pl.when(j == 0)
-        def _initL():
-            _store_point(waccL, _identity_point(zeros))
+        def _init():
+            _store_point(wacc, _identity_point(zeros))
 
-        @pl.when(j == s)
-        def _initR():
-            _store_point(waccR, _identity_point(zeros))
+        _store_point(
+            wacc, emit_point_add_niels(_load_point(wacc), sel)
+        )
 
-        @pl.when(j < s)
-        def _accL():
-            _store_point(
-                waccL, emit_point_add_niels(_load_point(waccL), sel)
-            )
-
-        @pl.when(j >= s)
-        def _accR():
-            _store_point(
-                waccR, emit_point_add_niels(_load_point(waccR), sel)
-            )
-
-    def _boundary(wacc, horner, lo):
+    @pl.when(j == v - 1)
+    def _boundary():
         @pl.when(w == 0)
         def _first():
             _store_point(horner, _load_point(wacc))
@@ -1200,59 +1189,49 @@ def _msm_win_pair_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref,
         @pl.when(w == 63)
         def _final():
             tot = emit_block_reduce(_load_point(horner))
-            _store_point_lane(
-                o_ref,
-                emit_point_add(tot, _load_point_lane(chain_ref, lo)),
-                lo,
-            )
-
-    @pl.when(j == s - 1)
-    def _bL():
-        _boundary(waccL, hornerL, 0)
-
-    @pl.when(j == v - 1)
-    def _bR():
-        _boundary(waccR, hornerR, LAN_BLOCK)
+            _store_point(o_ref, emit_point_add(tot, _load_point(chain_ref)))
 
 
 def _msm_win_pair_call(table: jnp.ndarray, words: jnp.ndarray,
                        chain2: jnp.ndarray, info: jnp.ndarray,
                        v) -> jnp.ndarray:
     """One dispatch for a combined round's L AND R window walks
-    (info = [4k, k, ...]): steps j < 2k read table chunk j + k (L's
-    contiguous G-high|H-low span), steps j in [2k, 3k) read chunk
-    j - 2k (R's G-low) and steps in [3k, 4k) read chunk j (R's H-high).
-    Word chunk = j (caller lays words as [scG_L|scH_L|scG_R|scH_R]).
-    Returns the (92, 8, 512) pair: L total + chain-lo in lanes [0, 256),
-    R total + chain-hi beyond (pair_lo / pair_hi split)."""
+    (info = [2k, k, ...], grid (2, 64, 2k)).  Side 0 (L) reads table
+    chunk j + k (the contiguous G-high|H-low span) with word chunk j;
+    side 1 (R) reads chunk j for j < k (G-low) else chunk j + 2k
+    (H-high), with word chunk j + 2k.  The caller lays words as
+    [scG_L|scH_L|scG_R|scH_R] over 4k chunks.  Returns the (92, 8, 512)
+    pair: L total + chain-lo in lanes [0, 256), R total + chain-hi
+    beyond (pair_lo / pair_hi split)."""
     assert words.shape == (8, SUB, GRID_LANES)
     t_spec = pl.BlockSpec(
         (ROWS, SUB, TBL * LAN_BLOCK),
-        lambda w, j, info: (
+        lambda s, w, j, info: (
             0, 0,
             jnp.where(
-                j < 2 * info[1],
+                s == 0,
                 j + info[1],
-                jnp.where(j < 3 * info[1], j - 2 * info[1], j),
+                jnp.where(j < info[1], j, j + 2 * info[1]),
             ),
         ),
     )
     w_spec = pl.BlockSpec(
-        (8, SUB, LAN_BLOCK), lambda w, j, info: (0, 0, j)
+        (8, SUB, LAN_BLOCK),
+        lambda s, w, j, info: (0, 0, j + s * 2 * info[1]),
     )
-    fix2 = pl.BlockSpec(
-        (ROWS, SUB, 2 * LAN_BLOCK), lambda w, j, info: (0, 0, 0)
+    side_spec = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK), lambda s, w, j, info: (0, 0, s)
     )
     return pl.pallas_call(
         _msm_win_pair_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(64, v),
-            in_specs=[t_spec, w_spec, fix2],
-            out_specs=fix2,
+            grid=(2, 64, v),
+            in_specs=[t_spec, w_spec, side_spec],
+            out_specs=side_spec,
             scratch_shapes=[
                 pltpu.VMEM((ROWS, SUB, LAN_BLOCK), jnp.int32)
-                for _ in range(4)
+                for _ in range(2)
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(

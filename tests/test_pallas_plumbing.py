@@ -185,7 +185,7 @@ def fake_kernels(monkeypatch, request):
         assert words.shape == (8, pc.SUB, pc.GRID_LANES)
         assert chain2.shape == (pc.ROWS, pc.SUB, 2 * pc.LAN_BLOCK)
         iv, k = int(info[0]), int(info[1])
-        assert iv == v == 4 * k and 4 * k <= tc
+        assert iv == v == 2 * k and 4 * k <= tc
         return chain2
 
     monkeypatch.setattr(pc, "msm_grid_pair", msm_grid_pair)
