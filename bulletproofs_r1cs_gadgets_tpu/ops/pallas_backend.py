@@ -78,10 +78,13 @@ _WRAPMSM = os.environ.get("BPTPU_WRAPMSM", "1") != "0"
 # B > 12 batches; default ON.
 _TBLTIER = os.environ.get("BPTPU_TBLTIER", "1") != "0"
 # paired window walk: a combined round's L and R MSMs in ONE msm_win_pair
-# dispatch (dual window/Horner scratch; the per-step instruction stream is
-# unchanged, the second dispatch's launch+ramp fixed cost disappears).
-# Default OFF until hardware-validated (stage-5 gate + speedup).
-_PAIRWALK = os.environ.get("BPTPU_PAIRWALK", "0") != "0"
+# dispatch (side grid dimension running the unchanged single-walker step
+# body; the second dispatch's launch+ramp fixed cost disappears).
+# Validated on hardware 2026-08-20: 9-path stage-5 gate byte-identical,
+# batch B=12 w=3 best-pass 25.9 s vs 38.6 s with it off in the same
+# session (noisy session, but every on pass beat every off pass);
+# default ON.
+_PAIRWALK = os.environ.get("BPTPU_PAIRWALK", "1") != "0"
 # frozen-tail flotilla: once every active job of a batch is frozen, pack
 # the wave's [G|H|Q] chunks into ONE capacity array and compute all 2B
 # L/R points per round in ONE msm_lane dispatch instead of B pair
