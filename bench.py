@@ -435,7 +435,7 @@ def stage3b_vsmt4(backend):
     snaps = [p.snapshot() for p in provers]
     log(f"[stage3b] built {B} provers in {time.time()-t0:.1f}s")
     bdt = None
-    for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 3))):
+    for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 5))):
         if rep:
             for p, s in zip(provers, snaps):
                 p.restore(s)
@@ -626,7 +626,7 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
     # provers prove repeatedly.
     snaps = [p.snapshot() for p, _ in provers]
     dt = None
-    for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 3))):
+    for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 5))):
         if rep:
             for (p, _), s in zip(provers, snaps):
                 p.restore(s)
