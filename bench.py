@@ -53,8 +53,17 @@ def _emit(rec) -> None:
 
 def result(metric, value, unit, vs_baseline=None, extra=None):
     """Record a stage result and print it immediately (provisional lines are
-    fine: the driver keeps the last line)."""
+    fine: the driver keeps the last line).
+
+    Every line with a non-null vs_baseline also carries
+    ``extra.vs_baseline_conservative`` = vs_baseline / 2.5: the local
+    single-core C++ proxy runs on a 2.1 GHz Xeon and BASELINE.md's own
+    estimate is that dalek AVX2 on a modern core could be 2-3x faster, so
+    the honest range's low end rides in the data, not just in a doc."""
     global _BEST
+    if vs_baseline is not None:
+        extra = dict(extra or {})
+        extra["vs_baseline_conservative"] = round(vs_baseline / 2.5, 2)
     with _LOCK:
         _BEST = (metric, value, unit, vs_baseline, extra)
         _emit(_BEST)
@@ -418,36 +427,49 @@ def stage3b_vsmt4(backend):
     # on-chip, 2026-08-20 session)
     B = int(os.environ.get("BENCH_VSMT4_BATCH", 24))
     if B <= 1:
-        return dt, None, B
-    from concurrent.futures import ThreadPoolExecutor
+        return dt, None, B, []
+    # the batch portion runs in its own try/except: a batch-only failure
+    # (e.g. OOM at a large B) must not discard the already-measured
+    # serial VSMT-4 number (advisor finding, round 4)
+    passes = []
+    try:
+        from concurrent.futures import ThreadPoolExecutor
 
-    from bulletproofs_r1cs_gadgets_tpu.parallel.batch import prove_provers
-
-    def _build(_):
-        p = Prover(pc_gens, Transcript(b"VSMT"))
-        comp.commit_prover(p, k, k, nodes)
-        p.load_compiled(tape, aL, aR, aO)
-        return p
-
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        provers = list(pool.map(_build, range(B)))
-    snaps = [p.snapshot() for p in provers]
-    log(f"[stage3b] built {B} provers in {time.time()-t0:.1f}s")
-    bdt = None
-    for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 5))):
-        if rep:
-            for p, s in zip(provers, snaps):
-                p.restore(s)
-        t0 = time.time()
-        prove_provers(
-            provers, bp_gens, backend=backend, waves=max(1, B // 4)
+        from bulletproofs_r1cs_gadgets_tpu.parallel.batch import (
+            prove_provers,
         )
-        rep_dt = time.time() - t0
-        bdt = rep_dt if bdt is None else min(bdt, rep_dt)
-        log(f"[stage3b] batch B={B} pass {rep}: {rep_dt:.1f}s "
-            f"({B/rep_dt:.3f} proofs/s)")
-    return dt, bdt, B
+
+        def _build(_):
+            p = Prover(pc_gens, Transcript(b"VSMT"))
+            comp.commit_prover(p, k, k, nodes)
+            p.load_compiled(tape, aL, aR, aO)
+            return p
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            provers = list(pool.map(_build, range(B)))
+        snaps = [p.snapshot() for p in provers]
+        log(f"[stage3b] built {B} provers in {time.time()-t0:.1f}s")
+        for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 5))):
+            if rep:
+                for p, s in zip(provers, snaps):
+                    p.restore(s)
+            t0 = time.time()
+            prove_provers(
+                provers, bp_gens, backend=backend, waves=max(1, B // 4)
+            )
+            rep_dt = time.time() - t0
+            passes.append(round(rep_dt, 2))
+            log(f"[stage3b] batch B={B} pass {rep}: {rep_dt:.1f}s "
+                f"({B/rep_dt:.3f} proofs/s)")
+    except Exception as e:
+        log(f"[stage3b] batch portion FAILED (serial result kept): "
+            f"{type(e).__name__}: {e}")
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+    bdt = min(passes) if passes else None
+    return dt, bdt, B, passes
 
 
 def stage5_equiv_gate(backend):
@@ -619,13 +641,15 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
         provers = list(pool.map(_build, range(B)))
     log(f"[stage4] built {B} provers in {time.time()-t0:.1f}s")
 
-    # three passes: the first absorbs batch-only one-time costs (fused
-    # fetch-stack compiles, straggler allocs) and the allocator keeps
-    # settling into pass 2 (measured 30.0 / 24.9 / 20.2 s on 2026-08-20);
-    # the min is the steady state.  Snapshots let the same synthesized
+    # BENCH_BATCH_REPS (default 5) passes: the first absorbs batch-only
+    # one-time costs (fused fetch-stack compiles, straggler allocs) and the
+    # allocator keeps settling into pass 2 (measured 30.0 / 24.9 / 20.2 s
+    # on 2026-08-20); the min is the steady state, and ALL pass times +
+    # the median are carried in the emitted extras so the dispersion is
+    # visible in the recorded JSON.  Snapshots let the same synthesized
     # provers prove repeatedly.
     snaps = [p.snapshot() for p, _ in provers]
-    dt = None
+    passes = []
     for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 5))):
         if rep:
             for (p, _), s in zip(provers, snaps):
@@ -636,13 +660,14 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
             inflight=inflight,
         )
         rep_dt = time.time() - t0
-        dt = rep_dt if dt is None else min(dt, rep_dt)
+        passes.append(round(rep_dt, 2))
         log(
             f"[stage4] batch prove B={B} waves={waves} "
             f"inflight={inflight or B} pass {rep}: "
             f"{rep_dt:.1f}s total, {rep_dt/B:.2f}s/proof "
             f"({serial_dt/(rep_dt/B):.2f}x serial)"
         )
+    dt = min(passes)
 
     # verify every batched proof — combined into ONE mega-MSM
     from bulletproofs_r1cs_gadgets_tpu import batch_verify
@@ -659,7 +684,7 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
         f"[stage4] all {B} proofs VERIFIED (single combined MSM) in "
         f"{time.time()-t0:.1f}s"
     )
-    return B, dt
+    return B, dt, passes
 
 
 def _load_local_baseline() -> dict:
@@ -685,6 +710,12 @@ def _ratio(baseline_s, measured_s):
     if not baseline_s or not measured_s:
         return None
     return round(baseline_s / measured_s, 2)
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return (s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2) if n else 0.0
 
 
 def main():
@@ -770,7 +801,7 @@ def main():
         return
 
     try:
-        B, bdt = stage4_batch_vsmt(ctx, backend, dt)
+        B, bdt, passes = stage4_batch_vsmt(ctx, backend, dt)
         if B / bdt > 1.0 / dt:
             # only report the batched rate when it beats serial (the
             # driver records the LAST line printed)
@@ -782,6 +813,8 @@ def main():
                 {
                     "batch": B,
                     "batch_seconds": round(bdt, 2),
+                    "batch_pass_seconds": passes,
+                    "batch_median_seconds": round(_median(passes), 2),
                     "serial_prove_seconds": round(dt, 2),
                     "msm_point_adds_per_sec": msm_rate,
                     "native_single_core_prove_s": base.get("vsmt2_prove_s"),
@@ -804,7 +837,7 @@ def main():
     if os.environ.get("BENCH_VSMT4", "1") != "0":
         backend.evict_gens()  # drop the 2^18 arrays before the 2^17 build
         try:
-            dt4, bdt4, B4 = stage3b_vsmt4(backend)
+            dt4, bdt4, B4, passes4 = stage3b_vsmt4(backend)
             rate4, per4 = 1.0 / dt4, dt4
             extra4 = {
                 "prove_seconds": round(dt4, 2),
@@ -814,6 +847,8 @@ def main():
                 rate4, per4 = B4 / bdt4, bdt4 / B4
                 extra4["batch"] = B4
                 extra4["batch_seconds"] = round(bdt4, 2)
+                extra4["batch_pass_seconds"] = passes4
+                extra4["batch_median_seconds"] = round(_median(passes4), 2)
             result(
                 "proofs/sec/chip (VSMT-4 Poseidon gadget)",
                 rate4,

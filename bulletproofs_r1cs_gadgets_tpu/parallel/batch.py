@@ -67,6 +67,23 @@ def prove_provers(
     (every wave concurrent, the round-3 behavior)."""
     if backend is None or not hasattr(backend, "phase_commitments_batch"):
         return [p.prove(bp_gens, backend=backend) for p in provers]
+    if inflight is not None and inflight < len(provers):
+        # the cap must hold regardless of the wave split: derive enough
+        # waves that one wave's size k = ceil(B/waves) fits the cap (the
+        # thread-pool sizing below then keeps concurrent waves * k <=
+        # inflight).  Without this, inflight was silently ignored when
+        # waves <= 1 (advisor finding, round 4).
+        waves = max(waves, -(-len(provers) // inflight))
+        if len(provers) < 2 * waves:
+            # too few provers for interleaved waves: honor the cap with
+            # sequential slices of at most `inflight` proofs
+            out = []
+            for i in range(0, len(provers), inflight):
+                out.extend(prove_provers(
+                    provers[i : i + inflight], bp_gens, backend=backend,
+                    host_workers=host_workers,
+                ))
+            return out
     if waves > 1 and len(provers) >= 2 * waves:
         from concurrent.futures import ThreadPoolExecutor
 

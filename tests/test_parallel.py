@@ -337,3 +337,18 @@ def test_prove_provers_inflight_cap_roundtrip():
         _, _, o = ve.multiply(var_p, var_q)
         constrain_lc_with_scalar(ve, o, r)
         ve.verify(proof, PC, BP)
+
+    # inflight with waves<=1 (the default) must derive a wave split, not
+    # silently ignore the cap (round-4 advisor finding); and inflight that
+    # prevents a 2*waves split must fall back to sequential slices.  Both
+    # still produce byte-identical proofs.
+    provers3, _ = build()
+    derived = prove_provers(provers3, BP, backend=be, inflight=2)
+    assert [p.to_bytes() for p in derived] == [
+        p.to_bytes() for p in uncapped
+    ]
+    provers4, _ = build()
+    sliced = prove_provers(provers4, BP, backend=be, inflight=1)
+    assert [p.to_bytes() for p in sliced] == [
+        p.to_bytes() for p in uncapped
+    ]
