@@ -586,6 +586,98 @@ def msm_win(table: jnp.ndarray, words_big: jnp.ndarray, valid: int,
     return pc.msm_win_dyn(table, words_big, chain, info, valid)
 
 
+# --------------------------------------------- w5 shared-table walker
+TBL5 = pc.TBL5
+_C5 = sum(16 << (5 * i) for i in range(pc.W5_WINDOWS))  # 16 per 5-bit group
+_C5_LIMBS = np.array(
+    [(_C5 >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)], dtype="<u8"
+)
+
+
+def signed_digit5_bytes(arr: np.ndarray) -> np.ndarray:
+    """(m, 4) u64 scalars -> (m, 16) int32 packing 51 signed base-32
+    digits d_i in [-16, 15], one per byte (code d & 31; byte i holds
+    digit i), sum d_i * 32^i == scalar.  Same closed-form recode as
+    :func:`signed_digit_words` but with a 5-bit-period constant: digits
+    of t = s + C are q_i = d_i + 16, and code = q_i ^ 16."""
+    a = np.ascontiguousarray(arr, dtype="<u8")
+    m = a.shape[0]
+    t = np.empty_like(a)
+    carry = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for i in range(4):
+            s = a[:, i] + _C5_LIMBS[i]
+            c_new = s < a[:, i]
+            t[:, i] = s + carry
+            carry = (c_new | (t[:, i] < s)).astype(np.uint64)
+        # s < 2^253 and C < 2^255 -> t < 2^256: no carry out
+        assert not carry.any(), "w5 recode overflow"
+        for i in range(4):
+            t[:, i] ^= _C5_LIMBS[i]  # q ^ 16 in every 5-bit group
+    out = np.zeros((m, 64), np.uint8)
+    for i in range(pc.W5_WINDOWS):
+        pos = 5 * i
+        limb, sh = pos >> 6, np.uint64(pos & 63)
+        with np.errstate(over="ignore"):
+            v = t[:, limb] >> sh
+            if (pos & 63) > 59:
+                v = v | (t[:, limb + 1] << np.uint64(64 - (pos & 63)))
+        out[:, i] = (v & np.uint64(31)).astype(np.uint8)
+    return out.view("<u4").view(np.int32).reshape(m, 16)
+
+
+def words5_chunks(arr: np.ndarray, nchunks: int) -> list[np.ndarray]:
+    """(m, 4) u64 scalars -> list of (16, 8, 256) int32 w5 word chunks,
+    zero-padded to `nchunks` (zero bytes select the identity)."""
+    m = arr.shape[0]
+    k = nchunks
+    w = signed_digit5_bytes(arr)
+    if m < k * CHUNK:
+        w = np.concatenate([w, np.zeros((k * CHUNK - m, 16), np.int32)])
+    out = []
+    for c in range(k):
+        blk = w[c * CHUNK : (c + 1) * CHUNK]  # (2048, 16)
+        out.append(
+            np.ascontiguousarray(blk.T).reshape(16, pc.SUB, pc.LAN_BLOCK)
+        )
+    return out
+
+
+def grid_words5(arr: np.ndarray, nchunks: int) -> jnp.ndarray:
+    """(m, 4) u64 scalars -> capacity-shaped (16, 8, GRID_LANES) device
+    word array for :func:`msm_win5`."""
+    blocks = words5_chunks(arr, nchunks)
+    cat = jnp.asarray(np.concatenate(blocks, axis=2))
+    return _pad_to_capacity(cat) if nchunks < GRID_CHUNKS else cat
+
+
+def table_big5(points_big: jnp.ndarray, valid: int) -> jnp.ndarray:
+    """16-multiple niels table prepass (full capacity; for the SHARED
+    generator tables only — built once per gens object)."""
+    assert valid <= GRID_CHUNKS
+    return pc.table_grid5_full(points_big, _info(valid), valid)
+
+
+def msm_win5(table5: jnp.ndarray, words_big: jnp.ndarray, valid: int,
+             poff: int = 0, woff: int = 0, chain=None,
+             split: int | None = None, poff2: int = 0) -> jnp.ndarray:
+    """w5 window-accumulator MSM over `valid` chunks of a 16-entry
+    table; identical call semantics to :func:`msm_win` (chains with every
+    other accumulator kernel)."""
+    assert valid >= 1
+    if chain is None:
+        chain = ident_chunk()
+    tc = table5.shape[-1] // (TBL5 * pc.LAN_BLOCK)
+    if split is None:
+        split, poff2 = valid, poff
+    else:
+        assert 1 <= split <= valid
+        assert poff2 + (valid - split) <= tc
+    assert poff + split <= tc
+    info = np.array([valid, poff, woff, split, poff2], dtype=np.int32)
+    return pc.msm_win5_dyn(table5, words_big, chain, info, valid)
+
+
 def msm_win_pair(table: jnp.ndarray, words_big: jnp.ndarray,
                  k: int) -> jnp.ndarray:
     """Both window walks of a combined-layout IPP round (side = 2k
@@ -605,25 +697,27 @@ _frozen_pack_fns: dict = {}
 
 
 def frozen_pack_chunk(g_chunk: jnp.ndarray, h_chunk: jnp.ndarray,
-                      q_chunk: jnp.ndarray, S: int) -> jnp.ndarray:
-    """ONE packed frozen-tail chunk: lanes [G(S) | H(S) | Q | identity...]
-    (92, 8, 256).  Requires 2*S + 1 <= CHUNK; jitted once per S."""
-    assert 2 * S + 1 <= CHUNK
+                      S: int) -> jnp.ndarray:
+    """ONE packed frozen-tail chunk: lanes [G(S) | H(S) | identity...]
+    (92, 8, 256).  Requires 2*S <= CHUNK; jitted once per S.  The Q
+    terms of a frozen round ride the host (round_finish ``_host_q``
+    pattern), which is what lets S reach CHUNK/2 = 1024 — one more tail
+    round served by the cheap flotilla walk."""
+    assert 2 * S <= CHUNK
     fn = _frozen_pack_fns.get(S)
     if fn is None:
-        pad = CHUNK - (2 * S + 1)
+        pad = CHUNK - 2 * S
 
         @jax.jit
-        def fn(g, h, q):
+        def fn(g, h):
             gf = g.reshape(ROWS, CHUNK)[:, :S]
             hf = h.reshape(ROWS, CHUNK)[:, :S]
-            qf = q.reshape(ROWS, CHUNK)[:, :1]
             return jnp.concatenate(
-                [gf, hf, qf, _IDENT_FLAT[:, :pad]], axis=1
+                [gf, hf, _IDENT_FLAT[:, :pad]], axis=1
             ).reshape(ROWS, pc.SUB, pc.LAN_BLOCK)
 
         _frozen_pack_fns[S] = fn
-    return fn(g_chunk, h_chunk, q_chunk)
+    return fn(g_chunk, h_chunk)
 
 
 @jax.jit
@@ -638,13 +732,13 @@ frozen_pack_dup = _frozen_dup
 
 
 def frozen_pack(g_chunk: jnp.ndarray, h_chunk: jnp.ndarray,
-                q_chunk: jnp.ndarray, S: int) -> jnp.ndarray:
+                S: int) -> jnp.ndarray:
     """Packed frozen-tail point array for the late IPP rounds: the
     :func:`frozen_pack_chunk` chunk duplicated into the first two chunks
     of a capacity array so ``msm_grid_pair`` with valid_half=1 walks the
     L words over chunk 0 and the R words over chunk 1 (see pallas_backend
     frozen-tail helpers)."""
-    return _frozen_dup(frozen_pack_chunk(g_chunk, h_chunk, q_chunk, S))
+    return _frozen_dup(frozen_pack_chunk(g_chunk, h_chunk, S))
 
 
 _FLOTILLA_CAT_FNS: dict = {}

@@ -86,11 +86,16 @@ _TBLTIER = os.environ.get("BPTPU_TBLTIER", "1") != "0"
 # default ON.
 _PAIRWALK = os.environ.get("BPTPU_PAIRWALK", "1") != "0"
 # frozen-tail flotilla: once every active job of a batch is frozen, pack
-# the wave's [G|H|Q] chunks into ONE capacity array and compute all 2B
+# the wave's [G|H] chunks into ONE capacity array and compute all 2B
 # L/R points per round in ONE msm_lane dispatch instead of B pair
 # dispatches (~19 ms each).  Validated on hardware (stage-5 gate,
 # batched path byte-equal); ~9% batch throughput; default ON.
 _FLOTILLA = os.environ.get("BPTPU_FLOTILLA", "1") != "0"
+# w5 walker for the SHARED generator tables (phase-1, IPP round-1,
+# verifier mega-MSM): 51 window steps instead of 64 on the mul-bound
+# walks for 2x shared-table HBM (+1.5 GB, NOT per-job).  PERF_NOTES
+# roadmap candidate #3; validated via the stage-5 byte-equivalence gate.
+_W5 = os.environ.get("BPTPU_W5", "1") != "0"
 
 
 def _as_array(scalars) -> np.ndarray:
@@ -98,6 +103,16 @@ def _as_array(scalars) -> np.ndarray:
     if isinstance(scalars, np.ndarray):
         return scalars
     return scvec.from_scalars(list(scalars))
+
+
+def _shared_grid_words(arr: np.ndarray, k: int):
+    """Word encode matching the SHARED-gens-table walker (w5 or w4)."""
+    return ck.grid_words5(arr, k) if _W5 else ck.grid_words(arr, k)
+
+
+def _shared_win(tbl, words, valid: int, **kw):
+    """Window walk over a SHARED gens table (w5 or w4 per BPTPU_W5)."""
+    return (ck.msm_win5 if _W5 else ck.msm_win)(tbl, words, valid, **kw)
 
 
 def _nchunks(n: int) -> int:
@@ -161,16 +176,19 @@ class PallasBackend:
     def _gens_table(self, gens_share, n: int, which: str):
         """Capacity-shaped multiple table over the generator vector for
         the window-accumulator MSM walker — built ONCE per gens object
-        (fixed-base MSM: every proof and every IPP round 1 reuses it)."""
+        (fixed-base MSM: every proof and every IPP round 1 reuses it).
+        Under ``BPTPU_W5`` (default) this is the 16-entry w5 table walked
+        by :func:`ck.msm_win5`; otherwise the 8-entry w4 table."""
         k = _nchunks(n)
         if k > ck.GRID_CHUNKS:
             return None
-        key = (id(gens_share._gens), which, "tbl")
+        key = (id(gens_share._gens), which, "tbl5" if _W5 else "tbl")
         got = self._gens_cache.get(key)
         if got is None or got[1] < k:
             big = self._gens_big(gens_share, n, which)
             nc = self._gens_cache[(id(gens_share._gens), which, "big")][1]
-            got = (ck.table_big(big, nc), nc)
+            tbl = ck.table_big5(big, nc) if _W5 else ck.table_big(big, nc)
+            got = (tbl, nc)
             self._gens_cache[key] = got
         return got[0]
 
@@ -217,8 +235,9 @@ class PallasBackend:
         G_big = self._gens_big(gens_share, padded_n, "G") if k >= 2 else None
         if G_big is not None:
             H_big = self._gens_big(gens_share, padded_n, "H")
-            sc_G = ck.grid_words(arr[nh : nh + padded_n], k)
-            sc_H = ck.grid_words(arr[nh + padded_n : nh + 2 * padded_n], k)
+            enc = _shared_grid_words if _WINMSM else ck.grid_words
+            sc_G = enc(arr[nh : nh + padded_n], k)
+            sc_H = enc(arr[nh + padded_n : nh + 2 * padded_n], k)
             head_w = ck.words_chunks(arr[:nh], len(head), encode="w4")
             tail_w = ck.words_chunks(
                 arr[nh + 2 * padded_n :], len(tail), encode="w4"
@@ -230,8 +249,8 @@ class PallasBackend:
             if _WINMSM:
                 tG = self._gens_table(gens_share, padded_n, "G")
                 tH = self._gens_table(gens_share, padded_n, "H")
-                acc = ck.msm_win(tG, sc_G, k, chain=acc)
-                acc = ck.msm_win(tH, sc_H, k, chain=acc)
+                acc = _shared_win(tG, sc_G, k, chain=acc)
+                acc = _shared_win(tH, sc_H, k, chain=acc)
             else:
                 acc = ck.msm_grid(G_big, sc_G, k, acc=acc)
                 acc = ck.msm_grid(H_big, sc_H, k, acc=acc)
@@ -303,11 +322,13 @@ class PallasBackend:
             if _WINMSM:
                 tG = self._gens_table(gens_share, n, "G")
                 tH = self._gens_table(gens_share, n, "H")
-                msm_G = lambda wds, acc: ck.msm_win(tG, wds, k, chain=acc)
-                msm_H = lambda wds, acc: ck.msm_win(tH, wds, k, chain=acc)
+                msm_G = lambda wds, acc: _shared_win(tG, wds, k, chain=acc)
+                msm_H = lambda wds, acc: _shared_win(tH, wds, k, chain=acc)
+                enc = _shared_grid_words
             else:
                 msm_G = lambda wds, acc: ck.msm_grid(G_big, wds, k, acc=acc)
                 msm_H = lambda wds, acc: ck.msm_grid(H_big, wds, k, acc=acc)
+                enc = ck.grid_words
             # blinding heads i/o/s_blinding * B_blinding: ~2 ms host
             # scalar_muls instead of three single-lane device ladder
             # dispatches per proof (the host-Q-terms pattern of
@@ -322,13 +343,13 @@ class PallasBackend:
                 TIMER.add("phase1_prep", time.time() - t0)
                 t0 = time.time()
             acc_AI = msm_H(
-                ck.grid_words(a_R, k),
-                msm_G(ck.grid_words(a_L, k), None),
+                enc(a_R, k),
+                msm_G(enc(a_L, k), None),
             )
-            acc_AO = msm_G(ck.grid_words(a_O, k), None)
+            acc_AO = msm_G(enc(a_O, k), None)
             acc_S = msm_H(
-                ck.grid_words(s_R, k),
-                msm_G(ck.grid_words(s_L, k), None),
+                enc(s_R, k),
+                msm_G(enc(s_L, k), None),
             )
             if _TIMING:
                 TIMER.add("phase1_dispatch", time.time() - t0)
@@ -562,15 +583,24 @@ def _ones_rows(m: int) -> np.ndarray:
 # skipped fold D'_i = D_i + c_i * D_{i+mu} is absorbed into per-frozen-
 # index factor vectors FF (host, (S, 4) u64), and a round's L and R MSMs
 # become ONE `msm_grid_pair` dispatch over a fixed packed array
-# [G(S) | H(S) | Q | identity...] duplicated in two capacity chunks (low
-# chunk takes the L words, high chunk the R words, the Q lane absorbs
-# c_L / c_R).  Host work is O(S) numpy/C++ per round; device work is one
-# two-chunk walk (~19 ms) instead of 2 walks + 2 Q chains + 2 folds.
-# Proof bytes are unchanged (the L/R points are mathematically identical).
+# [G(S) | H(S) | identity...] duplicated in two capacity chunks (low
+# chunk takes the L words, high chunk the R words); the c_L*Q / c_R*Q
+# terms are ~2 ms host scalar_muls added in round_finish (the same
+# ``_host_q`` pattern as the non-frozen rounds).  Host work is O(S)
+# numpy/C++ per round; device work is one two-chunk walk (~19 ms)
+# instead of 2 walks + 2 Q chains + 2 folds.  Proof bytes are unchanged
+# (the L/R points are mathematically identical).
 #
 # These helpers are pure (host) so tests/test_ipp_frozen_tail.py can pin
 # the math against the host IPP without TPU kernels.
-FROZEN_MAX_SIDE = 512  # S: frozen side size cap (2*S + 1 lanes <= CHUNK)
+# S: frozen side size cap.  The pack is [G(S) | H(S)] in ONE chunk
+# (2*S <= CHUNK) with the Q terms computed on HOST (round_finish
+# ``_host_q``), so S reaches CHUNK/2 = 1024: the n=512 round — a ~35 ms
+# tail-path round (pack + 2 ladder chains + 2 tail folds) — runs as one
+# cheap flotilla walk instead, and padded_n <= 1024 circuits (Poseidon
+# preimage CS-3) freeze from round 1.  Round-5 change; L/R bytes
+# unchanged (host Q add is the same group element).
+FROZEN_MAX_SIDE = 1024
 
 
 def frozen_fold_update(FF: np.ndarray, mu: int, rbp: int, cA, cB
@@ -593,16 +623,17 @@ def frozen_fold_update(FF: np.ndarray, mu: int, rbp: int, cA, cB
 
 
 def frozen_walk_rows(
-    S: int, m: int, scG_L, scH_L, scG_R, scH_R, FFG, FFH, c_L, c_R,
+    S: int, m: int, scG_L, scH_L, scG_R, scH_R, FFG, FFH,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Composite MSM scalar rows for one frozen round (virtual size
-    2m -> m).  Returns (rowsL, rowsR), each (2S+1, 4) u64 over the packed
-    lane layout [G(S) | H(S) | Q]:
+    2m -> m).  Returns (rowsL, rowsR), each (2S, 4) u64 over the packed
+    lane layout [G(S) | H(S)]:
 
-      L = c_L*Q + <scG_L, G'[m:2m)> + <scH_L, H'[0:m)>
-      R = c_R*Q + <scG_R, G'[0:m)>  + <scH_R, H'[m:2m)>
+      L = <scG_L, G'[m:2m)> + <scH_L, H'[0:m)>     (+ c_L*Q on host)
+      R = <scG_R, G'[0:m)>  + <scH_R, H'[m:2m)>    (+ c_R*Q on host)
 
-    where virtual gen j = sum_{k = j mod 2m} FF_k * frozen_k."""
+    where virtual gen j = sum_{k = j mod 2m} FF_k * frozen_k.  The Q
+    terms are the caller's (round_finish ``_host_q`` adds them)."""
     k = np.arange(S)
     v = k % (2 * m)
     hi = v >= m
@@ -618,8 +649,8 @@ def frozen_walk_rows(
     h_L = scvec.mul(gather(scH_L, np.where(hi, 0, v), ~hi), FFH)
     g_R = scvec.mul(gather(scG_R, np.where(hi, 0, v), ~hi), FFG)
     h_R = scvec.mul(gather(scH_R, np.where(hi, v - m, 0), hi), FFH)
-    rowsL = np.concatenate([g_L, h_L, scvec.scalar_to_row(c_L)[None]])
-    rowsR = np.concatenate([g_R, h_R, scvec.scalar_to_row(c_R)[None]])
+    rowsL = np.concatenate([g_L, h_L])
+    rowsR = np.concatenate([g_R, h_R])
     return rowsL, rowsR
 
 
@@ -663,7 +694,6 @@ class _IppJob:
         self._a_nz = int(meta.get("n_real", padded_n))
         self.Qpt = Q
         self._host_q = False
-        self.qc = backend._cached_point_chunk("Q", Q)
         # combined G|H capacity array + table (winmsm rounds >= 2)
         self.C_big = None
         self.tC = None
@@ -720,7 +750,7 @@ class _IppJob:
         :func:`frozen_fold_update` afterwards).  The duplicated per-job
         capacity array (`fz`) is built lazily: flotilla rounds
         (`ipp_create_batch`) walk the shared flotilla array instead."""
-        self.fz_chunk = ck.frozen_pack_chunk(g_chunk, h_chunk, self.qc, S)
+        self.fz_chunk = ck.frozen_pack_chunk(g_chunk, h_chunk, S)
         self.fz = None
         self.frozen = True
         self.fzS = S
@@ -734,10 +764,10 @@ class _IppJob:
         packs many jobs' rows into one dispatch)."""
         scG_L, scH_L, scG_R, scH_R, _ = self._round_scalars()
         t0 = time.time() if _TIMING else 0
-        self._host_q = False
+        self._host_q = True
         rows = frozen_walk_rows(
             self.fzS, self.n, scG_L, scH_L, scG_R, scH_R,
-            self.FFG, self.FFH, self.c_L, self.c_R,
+            self.FFG, self.FFH,
         )
         if _TIMING:
             TIMER.add("pair_dispatch", time.time() - t0)
@@ -787,11 +817,11 @@ class _IppJob:
         n = self.n
         t0 = time.time() if _TIMING else 0
         if self.frozen:
-            # frozen tail: ONE pair dispatch for L and R (Q lane included)
-            self._host_q = False
+            # frozen tail: ONE pair dispatch for L and R (Q on host)
+            self._host_q = True
             rowsL, rowsR = frozen_walk_rows(
                 self.fzS, n, scG_L, scH_L, scG_R, scH_R,
-                self.FFG, self.FFH, self.c_L, self.c_R,
+                self.FFG, self.FFH,
             )
             if self.fz is None:
                 self.fz = ck.frozen_pack_dup(self.fz_chunk)
@@ -802,7 +832,7 @@ class _IppJob:
                 TIMER.add("pair_dispatch", time.time() - t0)
             return ck.pair_lo(pair), ck.pair_hi(pair)
         self._to_chunks_if_tail()
-        G, H, qc = self.G, self.H, self.qc
+        G, H = self.G, self.H
         # Q's c_L/c_R terms: a single-lane device chain dispatch costs
         # ~10 ms per side per round; a host scalar_mul costs ~2 ms and
         # overlaps other proofs' device work in the batch — so every
@@ -846,12 +876,12 @@ class _IppJob:
             # scG_L at [k,2k); H side: scH_L low, scH_R high)
             k = n // CHUNK
             kR = max(1, _nchunks(nzR)) if nzR < n else k
-            wG = ck.grid_words(np.concatenate([scG_R, scG_L]), 2 * k)
-            wH = ck.grid_words(np.concatenate([scH_L, scH_R]), 2 * k)
-            accL = ck.msm_win(self.tG, wG, k, poff=k, woff=k)
-            accL = ck.msm_win(self.tH, wH, k, chain=accL)
-            accR = ck.msm_win(self.tG, wG, kR)
-            accR = ck.msm_win(self.tH, wH, k, poff=k, woff=k, chain=accR)
+            wG = _shared_grid_words(np.concatenate([scG_R, scG_L]), 2 * k)
+            wH = _shared_grid_words(np.concatenate([scH_L, scH_R]), 2 * k)
+            accL = _shared_win(self.tG, wG, k, poff=k, woff=k)
+            accL = _shared_win(self.tH, wH, k, chain=accL)
+            accR = _shared_win(self.tG, wG, kR)
+            accR = _shared_win(self.tH, wH, k, poff=k, woff=k, chain=accR)
         elif n >= CHUNK and self.G_big is not None:
             # fused pair walks: G_big chunks [0,k) carry scG_R -> R and
             # [k,2k) carry scG_L -> L; H_big [0,k) carry scH_L -> L and

@@ -460,6 +460,33 @@ def msm_grid_acc(
     )(info, points, words, acc)
 
 
+def _msm_grid_local_call(
+    points: jnp.ndarray, words: jnp.ndarray, acc: jnp.ndarray,
+    info: jnp.ndarray,
+) -> jnp.ndarray:
+    """Width-generic :func:`msm_grid_acc`: walks ALL chunks of a
+    (92, 8, LANES) array (any multiple of 256 lanes), with the same
+    valid-chunk clamp semantics.  Used per-device by the points-axis
+    sharded walker (``parallel.sharded_fast``), where each device's
+    shard is a fixed fraction of the capacity array."""
+    lanes = points.shape[-1]
+    k = lanes // LAN_BLOCK
+    assert lanes == k * LAN_BLOCK and words.shape == (8, SUB, lanes)
+    return pl.pallas_call(
+        _msm_grid_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k,),
+            in_specs=[_grid_pspec(), _grid_wspec(), _grid_fixed_pspec()],
+            out_specs=_grid_fixed_pspec(),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, LAN_BLOCK), jnp.int32),
+    )(info, points, words, acc)
+
+
+msm_grid_local = jax.jit(_msm_grid_local_call)
+
+
 def _fold_c_kernel(info_ref, l_ref, r_ref, w_ref, o_ref):
     """out = L_i + c_i * R_i per lane: the IPP generator fold with host-
     tracked factor vectors.  Because the engine's G_factors are piecewise
@@ -1127,6 +1154,195 @@ def _msm_win_call(table: jnp.ndarray, words: jnp.ndarray,
 
 # one jit; the two table shapes (full / half capacity) each compile once
 msm_win_dyn = jax.jit(_msm_win_call)
+
+
+# --------------------------------------------- w5 shared-table walker
+# The two SHARED generator tables (phase-1, IPP round-1 and verifier
+# mega-MSM walks over the FIXED gens — fixed-base MSMs whose tables are
+# built once per process) trade 2x table HBM for 51 window steps instead
+# of 64 (PERF_NOTES roadmap candidate #3): the walker is MUL-bound
+# (8 muls per niels add; the digit selects pipeline-hide), so fewer
+# adds/chunk is a real ~1.25x on those walks.  Per-JOB round tables stay
+# w4 — their 2x memory would multiply per-in-flight-job HBM and cap the
+# batch.  Digits are 51 signed base-32 values d in [-16, 15] coded one
+# per BYTE (chunks.signed_digit5_bytes; byte alignment avoids cross-word
+# 5-bit extraction), so word blocks are (16, SUB, LAN) int32.
+TBL5 = 16
+W5_WINDOWS = 51  # ceil(253 / 5)
+
+
+def _table16_body(p):
+    """16-entry multiple table (k+1)*P, k = 0..15 (8 dbl + 7 add)."""
+    t2 = emit_point_double(p)
+    t3 = emit_point_add(t2, p)
+    t4 = emit_point_double(t2)
+    t5 = emit_point_add(t4, p)
+    t6 = emit_point_double(t3)
+    t7 = emit_point_add(t6, p)
+    t8 = emit_point_double(t4)
+    t9 = emit_point_add(t8, p)
+    t10 = emit_point_double(t5)
+    t11 = emit_point_add(t10, p)
+    t12 = emit_point_double(t6)
+    t13 = emit_point_add(t12, p)
+    t14 = emit_point_double(t7)
+    t15 = emit_point_add(t14, p)
+    t16 = emit_point_double(t8)
+    return (p, t2, t3, t4, t5, t6, t7, t8,
+            t9, t10, t11, t12, t13, t14, t15, t16)
+
+
+def _table5_kernel(info_ref, p_ref, o_ref):
+    for e, q in enumerate(_table16_body(_load_point(p_ref))):
+        nq = _to_niels(q)
+        for c in range(4):
+            o_ref[
+                c * STORE : (c + 1) * STORE,
+                :,
+                e * LAN_BLOCK : (e + 1) * LAN_BLOCK,
+            ] = nq[c]
+
+
+def _table5_call(points: jnp.ndarray, info: jnp.ndarray, v) -> jnp.ndarray:
+    """16-multiple niels table prepass over v = info[0] chunks of a
+    capacity array; full capacity only (shared gens tables)."""
+    assert points.shape == (ROWS, SUB, GRID_LANES)
+    spec_in = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK), lambda j, info: (0, 0, j)
+    )
+    spec_out = pl.BlockSpec(
+        (ROWS, SUB, TBL5 * LAN_BLOCK), lambda j, info: (0, 0, j)
+    )
+    return pl.pallas_call(
+        _table5_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(v,),
+            in_specs=[spec_in],
+            out_specs=spec_out,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (ROWS, SUB, TBL5 * GRID_CHUNKS * LAN_BLOCK), jnp.int32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(info, points)
+
+
+table_grid5_full = jax.jit(_table5_call)
+
+
+def _win5_digit_select(w_ref, window, t_ref, ident_n):
+    """Byte-coded signed base-32 digit `window` -> d * P in NIELS form via
+    lane selects over the streamed 16-entry table block."""
+    word = w_ref[window // 4]  # (SUB, LAN) dynamic sublane read
+    e = (word >> (8 * (window % 4))) & 31
+    neg = e >= 16
+    mag = jnp.where(neg, 32 - e, e)
+    sel = ident_n
+    for k in range(1, TBL5 + 1):
+        ent = tuple(
+            t_ref[
+                c * STORE : (c + 1) * STORE,
+                :,
+                (k - 1) * LAN_BLOCK : k * LAN_BLOCK,
+            ]
+            for c in range(4)
+        )
+        sel = emit_point_select(mag == k, ent, sel)
+    m = neg[None]
+    return (
+        jnp.where(m, sel[1], sel[0]),
+        jnp.where(m, sel[0], sel[1]),
+        jnp.where(m, -sel[2], sel[2]),
+        sel[3],
+    )
+
+
+def _msm_win5_kernel(info_ref, t_ref, w_ref, chain_ref, o_ref, wacc, horner):
+    """The :func:`_msm_win_kernel` structure at w5: 51 windows, 5 Horner
+    doublings per fold."""
+    w = pl.program_id(0)
+    j = pl.program_id(1)
+    v = info_ref[0]
+    window = W5_WINDOWS - 1 - w  # Horner consumes digits MSB-first
+    zeros = jnp.zeros((STORE, SUB, LAN_BLOCK), jnp.int32)
+    ident_n = _identity_niels(zeros)
+
+    @pl.when(j < v)
+    def _step():
+        sel = _win5_digit_select(w_ref, window, t_ref, ident_n)
+
+        @pl.when(j == 0)
+        def _init():
+            _store_point(wacc, _identity_point(zeros))
+
+        _store_point(
+            wacc, emit_point_add_niels(_load_point(wacc), sel)
+        )
+
+    @pl.when(j == v - 1)
+    def _boundary():
+        @pl.when(w == 0)
+        def _first():
+            _store_point(horner, _load_point(wacc))
+
+        @pl.when(w > 0)
+        def _fold():
+            h = _load_point(horner)
+            for _ in range(4):
+                h = emit_point_double_xyz(h)
+            h = emit_point_double(h)
+            _store_point(horner, emit_point_add(h, _load_point(wacc)))
+
+        @pl.when(w == W5_WINDOWS - 1)
+        def _final():
+            tot = emit_block_reduce(_load_point(horner))
+            _store_point(o_ref, emit_point_add(tot, _load_point(chain_ref)))
+
+
+def _msm_win5_call(table: jnp.ndarray, words: jnp.ndarray,
+                   chain: jnp.ndarray, info: jnp.ndarray, v) -> jnp.ndarray:
+    """w5 window-accumulator MSM over v = info[0] chunks of a TBL5-entry
+    niels table; same info layout and chaining semantics as
+    :func:`_msm_win_call` (incl. the two-segment wrap walk)."""
+    assert words.shape == (16, SUB, GRID_LANES)
+    t_spec = pl.BlockSpec(
+        (ROWS, SUB, TBL5 * LAN_BLOCK),
+        lambda w, j, info: (
+            0, 0,
+            jnp.where(j < info[3], j + info[1], j - info[3] + info[4]),
+        ),
+    )
+    w_spec = pl.BlockSpec(
+        (16, SUB, LAN_BLOCK),
+        lambda w, j, info: (0, 0, j + info[2]),
+    )
+    fix = pl.BlockSpec(
+        (ROWS, SUB, LAN_BLOCK), lambda w, j, info: (0, 0, 0)
+    )
+    return pl.pallas_call(
+        _msm_win5_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(W5_WINDOWS, v),
+            in_specs=[t_spec, w_spec, fix],
+            out_specs=fix,
+            scratch_shapes=[
+                pltpu.VMEM((ROWS, SUB, LAN_BLOCK), jnp.int32),
+                pltpu.VMEM((ROWS, SUB, LAN_BLOCK), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS, SUB, LAN_BLOCK), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            # double-buffered 12 MB table stream + scratch accumulators
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(info, table, words, chain)
+
+
+msm_win5_dyn = jax.jit(_msm_win5_call)
 
 
 def _load_point_lane(ref, lo: int):

@@ -42,6 +42,14 @@ def pytest_configure(config):
         "(covered by the driver's dryrun_multichip gate; run explicitly "
         "with --run-slow)",
     )
+    config.addinivalue_line(
+        "markers",
+        "kernelmath: interpret-mode REAL-kernel math gate for a "
+        "default-on flag (runs in the default suite — a kernel-indexing "
+        "regression must fail here, not on hardware at bench time; "
+        "deselect with -m 'not kernelmath' for fast logic-only "
+        "iteration, ~4 min)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):

@@ -150,6 +150,7 @@ def test_vsmt_compiled_prover_generic_verifier(params, tree):
     verifier.verify(proof, pc, bp)  # raises on failure
 
 
+@pytest.mark.slow
 def test_vsmt_generic_prover_compiled_verifier(params, tree):
     k = Scalar(5)
     prover, mp = _generic_prover_tape(params, tree, k)
@@ -337,6 +338,7 @@ def test_vsmt4_compiled_prover_generic_verifier(params, tree4):
     verifier.verify(proof, pc, bp)
 
 
+@pytest.mark.slow
 def test_vsmt4_generic_prover_compiled_verifier(params, tree4):
     depth = tree4.depth
     k = Scalar(5)

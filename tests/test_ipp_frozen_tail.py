@@ -3,8 +3,8 @@
 The device backend's late IPP rounds run in "frozen-tail" mode
 (ops/pallas_backend.py): generators pinned at side size S, skipped folds
 absorbed into per-index factor vectors (``frozen_fold_update``), each
-round's L/R expressed over the fixed [G|H|Q] packing with composite
-scalars (``frozen_walk_rows``).  These tests drive those helpers through
+round's L/R expressed over the fixed [G|H] packing with composite
+scalars (``frozen_walk_rows``; Q terms on host).  These tests drive those helpers through
 a host-point simulation of the device job (same factor-tracking scheme
 as ``_IppJob``) and assert byte equality of every L/R point and the
 final a/b against the reference host ``InnerProductProof.create`` — the
@@ -61,7 +61,7 @@ def _sim_device_ipp(
     S = 0
     if n <= freeze_side:  # init-freeze (small proofs)
         S = n
-        fz_pts = D_G + D_H + [Q]
+        fz_pts = D_G + D_H
         ones = np.tile(scvec.scalar_to_row(one), (S, 1)).astype(np.uint64)
         FFG, FFH = ones.copy(), ones.copy()
     L_vec, R_vec = [], []
@@ -76,11 +76,14 @@ def _sim_device_ipp(
         scG_R = scvec.mul(a_R, GFa[:n])
         scH_R = scvec.mul(b_L, HFa[n : 2 * n])
         if fz_pts is not None:
+            # Q terms on host, mirroring the production _host_q pattern
             rowsL, rowsR = frozen_walk_rows(
-                S, n, scG_L, scH_L, scG_R, scH_R, FFG, FFH, c_L, c_R
+                S, n, scG_L, scH_L, scG_R, scH_R, FFG, FFH
             )
-            L = multiscalar_mul(scvec.to_scalars(rowsL), fz_pts)
-            R = multiscalar_mul(scvec.to_scalars(rowsR), fz_pts)
+            L = multiscalar_mul(scvec.to_scalars(rowsL), fz_pts) \
+                + Q.scalar_mul(c_L)
+            R = multiscalar_mul(scvec.to_scalars(rowsR), fz_pts) \
+                + Q.scalar_mul(c_R)
         else:
             L = multiscalar_mul(
                 scvec.to_scalars(scG_L) + scvec.to_scalars(scH_L) + [c_L],
@@ -146,7 +149,7 @@ def _sim_device_ipp(
             # transition freeze: pin the size-2n vectors, absorb THIS
             # round's fold into fresh factor vectors
             S = 2 * n
-            fz_pts = D_G + D_H + [Q]
+            fz_pts = D_G + D_H
             ones = np.tile(
                 scvec.scalar_to_row(one), (S, 1)
             ).astype(np.uint64)

@@ -52,7 +52,8 @@ def fake_kernels(monkeypatch, request):
         "msm_chunk": 0, "fold_chunk": 0, "msm_grid": 0, "fold_grid": 0,
         "fold_grid_c": 0, "fold_grid_c_donate": 0, "fold_grid_c_comb": 0,
         "fold_grid_w3h": 0, "fold_grid_w3h_comb": 0, "msm_grid_pair": 0,
-        "table_big": 0, "msm_win": 0, "msm_win_pair": 0, "msm_lane": 0,
+        "table_big": 0, "table_big5": 0, "msm_win": 0, "msm_win5": 0,
+        "msm_win_pair": 0, "msm_lane": 0,
         "winmsm": request.param,
     }
 
@@ -86,8 +87,33 @@ def fake_kernels(monkeypatch, request):
         assert 0 <= woff and woff + v <= pc.GRID_CHUNKS
         return chain
 
+    def table_big5(points_big, valid):
+        calls["table_big5"] += 1
+        assert points_big.shape == (pc.ROWS, pc.SUB, pc.GRID_LANES)
+        assert 1 <= valid <= pc.GRID_CHUNKS
+        return jax.ShapeDtypeStruct(
+            (pc.ROWS, pc.SUB, pc.TBL5 * pc.GRID_CHUNKS * pc.LAN_BLOCK),
+            jnp.int32,
+        )
+
+    def msm_win5_dyn(table, words, chain, info, v):
+        calls["msm_win5"] += 1
+        tc = table.shape[-1] // (pc.TBL5 * pc.LAN_BLOCK)
+        assert tc == pc.GRID_CHUNKS  # w5 tables are shared/full only
+        assert words.shape == (16, pc.SUB, pc.GRID_LANES)
+        assert chain.shape == (pc.ROWS, pc.SUB, pc.LAN_BLOCK)
+        iv, poff, woff, split, poff2 = (int(x) for x in info)
+        assert iv == v and 1 <= v
+        assert 1 <= split <= v
+        assert 0 <= poff and poff + split <= tc
+        assert 0 <= poff2 and poff2 + (v - split) <= tc
+        assert 0 <= woff and woff + v <= pc.GRID_CHUNKS
+        return chain
+
     monkeypatch.setattr(ck, "table_big", table_big)
+    monkeypatch.setattr(ck, "table_big5", table_big5)
     monkeypatch.setattr(pc, "msm_win_dyn", msm_win_dyn)
+    monkeypatch.setattr(pc, "msm_win5_dyn", msm_win5_dyn)
 
     def msm_chunk_acc_w4(points, words, acc):
         calls["msm_chunk"] += 1
@@ -228,16 +254,18 @@ def test_prover_grid_branches(fake_kernels, gens):
     _, _, proof = _prove(gens, PallasBackend())
     blob = proof.to_bytes()
     assert len(blob) > 0
-    # frozen tail: padded 8192 freezes after the m=256 round -> rounds
-    # m=128..1 are 8 single pair dispatches (no folds, no Q chains)
+    # frozen tail (S=1024): padded 8192 freezes after the m=512 round ->
+    # rounds m=256..1 are 9 single pair dispatches (no folds; Q on host)
     if fake_kernels["winmsm"]:
-        assert fake_kernels["msm_win"] >= 9  # 5 phase-1 + 4 IPP walks
-        assert fake_kernels["table_big"] >= 2  # gens tables (G, H)
+        # shared-table walks ride the w5 walker (BPTPU_W5 default on)
+        assert fake_kernels["msm_win5"] >= 9  # 5 phase-1 + 4 IPP walks
+        assert fake_kernels["table_big5"] >= 2  # shared gens tables (G, H)
+        assert fake_kernels["table_big"] >= 1  # per-job combined prepass
         assert fake_kernels["msm_grid"] == 0
-        assert fake_kernels["msm_grid_pair"] == 8  # frozen rounds only
+        assert fake_kernels["msm_grid_pair"] == 9  # frozen rounds only
     else:
         assert fake_kernels["msm_grid"] >= 5  # phase-1 commitment walks
-        # 2 grid rnds x (G, H) walks + 8 frozen-tail rounds
+        # 2 grid rnds x (G, H) walks + 9 frozen-tail rounds
         assert fake_kernels["msm_grid_pair"] >= 12
         assert fake_kernels["msm_win"] == 0
     # winmsm: round 1 transitions to the combined G|H layout with
@@ -252,9 +280,10 @@ def test_prover_grid_branches(fake_kernels, gens):
     else:
         assert fake_kernels["fold_grid_c"] >= 2
         assert fake_kernels["fold_grid_c_donate"] >= 2
-    # packed tail rounds only — phase-1 blinding heads are HOST
-    # scalar_muls on the grid path (added post-fetch), not device chains
-    assert fake_kernels["msm_chunk"] == 6
+    # packed tail rounds only (m=1024, 512; m<=256 frozen) — phase-1
+    # blinding heads are HOST scalar_muls on the grid path (added
+    # post-fetch), not device chains
+    assert fake_kernels["msm_chunk"] == 4
     assert fake_kernels["fold_chunk"] >= 0
 
 
@@ -270,9 +299,9 @@ def test_prover_pairwalk(fake_kernels, gens, monkeypatch):
     _, _, proof = _prove(gens, PallasBackend())
     assert len(proof.to_bytes()) > 0
     # padded 8192: one combined round (k=1) -> one pair dispatch; the
-    # separate-tables round 1 and phase-1 walks stay single msm_win
+    # separate-tables round 1 and phase-1 walks stay single w5 walks
     assert fake_kernels["msm_win_pair"] == 1
-    assert fake_kernels["msm_win"] >= 9
+    assert fake_kernels["msm_win5"] >= 9
 
 
 def test_verifier_msm_gens_grid(fake_kernels, gens):
@@ -287,7 +316,7 @@ def test_verifier_msm_gens_grid(fake_kernels, gens):
     _build(verifier, (v, v2), 4097)
     with pytest.raises(VerificationError):
         verifier.verify(proof, pc_gens, bp_gens, backend=PallasBackend())
-    key = "msm_win" if fake_kernels["winmsm"] else "msm_grid"
+    key = "msm_win5" if fake_kernels["winmsm"] else "msm_grid"
     assert fake_kernels[key] >= 2  # G and H segments
 
 

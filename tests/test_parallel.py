@@ -1,5 +1,7 @@
 """Batch proving + mesh utilities (CPU)."""
 
+import pytest
+
 from bulletproofs_r1cs_gadgets_tpu import (
     Scalar,
     PedersenGens,
@@ -118,12 +120,69 @@ def test_prove_provers_staged_matches_sequential():
     assert [p.to_bytes() for p in seq] == [p.to_bytes() for p in staged]
 
 
+def test_prove_stream_matches_individual_proofs():
+    """prove_stream (the 4096-proof-configuration queue: lazy prover
+    construction, wave groups on workers, bounded in-flight state) must
+    produce the same bytes as proving each lazily-built prover alone,
+    deliver results in stream order, and honor keep=False + on_result."""
+    import hashlib
+
+    from bulletproofs_r1cs_gadgets_tpu import Prover, Transcript
+    from bulletproofs_r1cs_gadgets_tpu.gadgets.r1cs_utils import (
+        constrain_lc_with_scalar,
+    )
+    from bulletproofs_r1cs_gadgets_tpu.parallel.stream import prove_stream
+
+    class StreamRng:
+        def __init__(self, seed: bytes):
+            self.key = seed
+            self.ctr = 0
+
+        def bytes(self, n: int) -> bytes:
+            out = b""
+            while len(out) < n:
+                out += hashlib.sha256(
+                    self.key + self.ctr.to_bytes(8, "little")
+                ).digest()
+                self.ctr += 1
+            return out[:n]
+
+    def make_prover(i: int):
+        p = Prover(
+            PC, Transcript(b"Stream"), rng=StreamRng(b"s%d" % i)
+        )
+        a, b = Scalar(3 + i), Scalar(5 + i)
+        _, va = p.commit(a, Scalar(17))
+        _, vb = p.commit(b, Scalar(19))
+        _, _, o = p.multiply(va, vb)
+        constrain_lc_with_scalar(p, o, a * b)
+        return p
+
+    seq = [make_prover(i).prove(BP).to_bytes() for i in range(7)]
+
+    proofs, rep = prove_stream(
+        make_prover, 7, BP, backend=None, wave=2, inflight=4
+    )
+    assert [p.to_bytes() for p in proofs] == seq
+    assert rep.count == 7 and rep.proofs_per_s > 0
+    assert sum(1 for _ in rep.group_times) == 4  # ceil(7/2) groups
+
+    got = {}
+    proofs2, rep2 = prove_stream(
+        make_prover, 5, BP, wave=2, inflight=2, keep=False,
+        on_result=lambda i, pf: got.__setitem__(i, pf.to_bytes()),
+    )
+    assert proofs2 is None
+    assert [got[i] for i in range(5)] == seq[:5]
+
+
 def test_make_mesh_shapes():
     mesh = make_mesh()  # whatever devices exist
     assert set(mesh.axis_names) == {"batch", "points"}
     assert mesh.size >= 1
 
 
+@pytest.mark.mesh_slow
 def test_sharded_step_matches_host_oracles():
     """make_sharded_step on the 8-device CPU mesh: the dp witness digests
     must equal the host Poseidon Merkle chain, the tp MSM total must equal

@@ -45,6 +45,7 @@ def backend(mesh):
     return ShardedMsmBackend(mesh, min_device_n=64, chunk=256, window=2)
 
 
+@pytest.mark.mesh_slow
 def test_sharded_msm_matches_host(backend):
     import random
 
