@@ -984,8 +984,9 @@ def main():
     if stream_B > 0:
         # deadline guard: predict the stream's wall time from the stage-4
         # per-proof rate and skip honestly if it cannot finish in-window
-        per = _VSMT2_BEST[4].get("batch_seconds", 0) and (
-            _VSMT2_BEST[4]["batch_seconds"] / _VSMT2_BEST[4].get("batch", 1)
+        _ex = (_VSMT2_BEST[4] or {}) if _VSMT2_BEST else {}
+        per = _ex.get("batch_seconds", 0) and (
+            _ex["batch_seconds"] / _ex.get("batch", 1)
         ) or dt
         remaining = deadline - (time.time() - T_START)
         want = stream_B * per * 1.25 + 120  # prove + verify + slack

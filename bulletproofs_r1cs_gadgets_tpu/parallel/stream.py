@@ -56,6 +56,8 @@ class StreamReport:
 
 def _hbm_peak(backend) -> int | None:
     """Best-effort device allocator peak (not all backends expose it)."""
+    if backend is None:
+        return None  # host-only stream: don't create a device client
     try:
         import jax
 
@@ -79,6 +81,7 @@ def prove_stream(
     on_result: Callable[[int, R1CSProof], None] | None = None,
     keep: bool = True,
     progress: Callable[[int, float], None] | None = None,
+    stop_event: threading.Event | None = None,
 ) -> tuple[list[R1CSProof] | None, StreamReport]:
     """Prove ``count`` lazily-built provers with at most ``inflight``
     proofs' device state live.
@@ -87,7 +90,11 @@ def prove_stream(
     index ``i`` (thread-safe: called from worker threads).  With
     ``keep=False`` proofs are NOT accumulated (pass ``on_result`` to
     consume them) — constant host memory for arbitrarily large streams.
-    ``progress(done, elapsed_s)`` fires after every retired group."""
+    ``progress(done, elapsed_s)`` fires after every retired group.
+    ``stop_event`` drains the queue gracefully: no NEW group starts once
+    set, in-flight groups finish and are reported (clean early
+    termination for deadline-bounded runs — the report's ``count``
+    reflects the proofs actually produced)."""
     if count <= 0:
         return ([] if keep else None), StreamReport(
             0, wave, inflight, 0.0, 0.0, 0.0, 0.0, 0.0, None
@@ -105,6 +112,8 @@ def prove_stream(
 
     def worker():
         while True:
+            if stop_event is not None and stop_event.is_set():
+                return
             with lock:
                 if errors or state["next"] >= len(groups):
                     return
@@ -147,11 +156,11 @@ def prove_stream(
     wall = time.time() - t_start
     cpu = time.process_time() - cpu0
     report = StreamReport(
-        count=count,
+        count=state["done"],
         wave=wave,
         inflight=workers * wave,
         wall_s=wall,
-        proofs_per_s=count / wall if wall > 0 else 0.0,
+        proofs_per_s=state["done"] / wall if wall > 0 else 0.0,
         build_s=state["build"],
         prove_s=state["prove"],
         cpu_util=cpu / (wall * (os.cpu_count() or 1)) if wall > 0 else 0.0,
