@@ -14,6 +14,11 @@ result lands even if a later stage runs out of time):
   2. Poseidon-hash-2 preimage proof    -> "proofs/sec/chip (Poseidon 2:1)"
   3. VSMT-2 depth-253 proof            -> "proofs/sec/chip (VSMT-2)"
   4. batched VSMT-2 (BENCH_BATCH=B)    -> amortised proofs/sec/chip
+  6. streamed VSMT-2 queue (BENCH_STREAM_B, deadline-guarded)
+                                       -> "streamed proofs/sec/chip"
+  3b. batched VSMT-4 (BENCH_VSMT4_BATCH)
+  5. kernel-path byte-equivalence gate (10 paths incl native C++ + W5
+     on/off; a divergence fails the run loudly)
 
 A watchdog thread prints the best-so-far result and exits 0 at
 BENCH_DEADLINE_S seconds (default 1500) so the external driver timeout can
@@ -925,6 +930,52 @@ def main():
         if _BEST is None:
             raise
 
+    stream_B = int(os.environ.get("BENCH_STREAM_B", 96))
+    if stream_B > 0:
+        # deadline guard: predict the stream's wall time from the stage-4
+        # per-proof rate and skip honestly if it cannot finish in-window
+        _ex = (_VSMT2_BEST[4] or {}) if _VSMT2_BEST else {}
+        per = _ex.get("batch_seconds", 0) and (
+            _ex["batch_seconds"] / _ex.get("batch", 1)
+        ) or dt
+        remaining = deadline - (time.time() - T_START)
+        want = stream_B * per * 1.25 + 120  # prove + verify + slack
+        if want > remaining:
+            log(
+                f"[stage6] SKIPPED: streamed B={stream_B} needs ~{want:.0f}s"
+                f" but only {remaining:.0f}s remain before BENCH_DEADLINE_S"
+                f" (run scratch/mega4096.py for the full-scale batch)"
+            )
+        else:
+            try:
+                rep, vdt = stage6_stream(ctx, backend)
+                result(
+                    f"streamed proofs/sec/chip (VSMT-2 x {rep.count})",
+                    rep.proofs_per_s,
+                    "proofs/s",
+                    vs_baseline=_ratio(
+                        base.get("vsmt2_prove_s"), rep.wall_s / rep.count
+                    ),
+                    extra={
+                        "stream_B": rep.count,
+                        "wave": rep.wave,
+                        "inflight": rep.inflight,
+                        "wall_seconds": round(rep.wall_s, 1),
+                        "verify_seconds": round(vdt, 1),
+                        "hbm_peak_bytes": rep.hbm_peak_bytes,
+                        "host_cpu_util": round(rep.cpu_util, 3),
+                        "native_single_core_prove_s": base.get(
+                            "vsmt2_prove_s"
+                        ),
+                    },
+                )
+            except Exception as e:
+                log(f"[stage6] FAILED: {type(e).__name__}: {e}")
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+
+
     if os.environ.get("BENCH_VSMT4", "1") != "0":
         backend.evict_gens()  # drop the 2^18 arrays before the 2^17 build
         try:
@@ -979,52 +1030,6 @@ def main():
             import traceback
 
             traceback.print_exc(file=sys.stderr)
-
-    stream_B = int(os.environ.get("BENCH_STREAM_B", 128))
-    if stream_B > 0:
-        # deadline guard: predict the stream's wall time from the stage-4
-        # per-proof rate and skip honestly if it cannot finish in-window
-        _ex = (_VSMT2_BEST[4] or {}) if _VSMT2_BEST else {}
-        per = _ex.get("batch_seconds", 0) and (
-            _ex["batch_seconds"] / _ex.get("batch", 1)
-        ) or dt
-        remaining = deadline - (time.time() - T_START)
-        want = stream_B * per * 1.25 + 120  # prove + verify + slack
-        if want > remaining:
-            log(
-                f"[stage6] SKIPPED: streamed B={stream_B} needs ~{want:.0f}s"
-                f" but only {remaining:.0f}s remain before BENCH_DEADLINE_S"
-                f" (run scratch/mega4096.py for the full-scale batch)"
-            )
-        else:
-            try:
-                backend.evict_gens()  # drop stage-5 residue before streaming
-                rep, vdt = stage6_stream(ctx, backend)
-                result(
-                    f"streamed proofs/sec/chip (VSMT-2 x {rep.count})",
-                    rep.proofs_per_s,
-                    "proofs/s",
-                    vs_baseline=_ratio(
-                        base.get("vsmt2_prove_s"), rep.wall_s / rep.count
-                    ),
-                    extra={
-                        "stream_B": rep.count,
-                        "wave": rep.wave,
-                        "inflight": rep.inflight,
-                        "wall_seconds": round(rep.wall_s, 1),
-                        "verify_seconds": round(vdt, 1),
-                        "hbm_peak_bytes": rep.hbm_peak_bytes,
-                        "host_cpu_util": round(rep.cpu_util, 3),
-                        "native_single_core_prove_s": base.get(
-                            "vsmt2_prove_s"
-                        ),
-                    },
-                )
-            except Exception as e:
-                log(f"[stage6] FAILED: {type(e).__name__}: {e}")
-                import traceback
-
-                traceback.print_exc(file=sys.stderr)
 
     # the primary VSMT-2 metric must be the LAST line (driver records it)
     if _VSMT2_BEST is not None:
