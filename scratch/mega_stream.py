@@ -131,15 +131,28 @@ def main():
             )
 
     t_stream = time.time()
-    _, rep = prove_stream(
-        make_prover, target, bp_gens, backend=backend,
-        wave=int(os.environ.get("BENCH_STREAM_WAVE", 4)),
-        inflight=int(os.environ.get("BENCH_INFLIGHT", 12)),
-        keep=False,
-        on_result=lambda i, pf: vq.put((i, pf)),
-        progress=progress,
-        stop_event=stop,
-    )
+    stream_error = None
+    try:
+        _, rep = prove_stream(
+            make_prover, target, bp_gens, backend=backend,
+            wave=int(os.environ.get("BENCH_STREAM_WAVE", 4)),
+            inflight=int(os.environ.get("BENCH_INFLIGHT", 12)),
+            keep=False,
+            on_result=lambda i, pf: vq.put((i, pf)),
+            progress=progress,
+            stop_event=stop,
+        )
+    except BaseException as e:  # still write the honest partial artifact
+        stream_error = repr(e)
+        from bulletproofs_r1cs_gadgets_tpu.parallel.stream import (
+            StreamReport,
+        )
+
+        rep = StreamReport(
+            vstate["verified"], 4, 12, time.time() - t_stream,
+            vstate["verified"] / max(1e-9, time.time() - t_stream),
+            0.0, 0.0, 0.0, None,
+        )
     bench.log(
         f"[mega] stream ended: {rep.count}/{target} proofs in "
         f"{rep.wall_s:.0f}s = {rep.proofs_per_s:.3f} proofs/s"
@@ -156,6 +169,7 @@ def main():
         "verified": vstate["verified"],
         "verify_failures": vstate["failed"],
         "terminated_early": bool(stop.is_set()),
+        "stream_error": stream_error,
         "wave": rep.wave,
         "inflight": rep.inflight,
         "wall_seconds": round(rep.wall_s, 1),
