@@ -664,10 +664,12 @@ def stage4_batch_vsmt(ctx, backend, serial_dt):
     # provers prove repeatedly.
     snaps = [p.snapshot() for p, _ in provers]
     passes = []
+    import gc
     for rep in range(int(os.environ.get("BENCH_BATCH_REPS", 5))):
         if rep:
             for (p, _), s in zip(provers, snaps):
                 p.restore(s)
+            gc.collect()  # big buffers hide in ref cycles (see stream.py)
         t0 = time.time()
         proofs = prove_provers(
             [p for p, _ in provers], bp_gens, backend=backend, waves=waves,

@@ -126,6 +126,16 @@ def prove_stream(
                 proofs = prove_provers(provers, bp_gens, backend=backend)
                 t2 = time.time()
                 del provers
+                # Large witness/word numpy buffers routinely sit in
+                # reference cycles (prover <-> tape <-> closures); the
+                # cyclic GC triggers on OBJECT counts, which a stream of
+                # few-object/huge-buffer proofs barely advances — the
+                # 4096-proof run leaked ~150 MB/proof host RSS until the
+                # kernel OOM-killed it at 130 GB.  One collect per
+                # retired group (~tens of ms) keeps RSS flat.
+                import gc
+
+                gc.collect()
                 with lock:
                     state["build"] += t1 - t0
                     state["prove"] += t2 - t1
