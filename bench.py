@@ -946,7 +946,7 @@ def main():
             log(
                 f"[stage6] SKIPPED: streamed B={stream_B} needs ~{want:.0f}s"
                 f" but only {remaining:.0f}s remain before BENCH_DEADLINE_S"
-                f" (run scratch/mega4096.py for the full-scale batch)"
+                f" (run scratch/mega_stream.py for the full-scale batch)"
             )
         else:
             try:
